@@ -1,0 +1,265 @@
+"""The TIP state predictor: causal transformer encoder + uni-directional RNN head.
+
+Functionally equivalent to the reference's ``TF_RNN_Past_State``
+(/root/reference/simple_transformer_with_state.py:8-102), re-designed as a
+pure function over an explicit parameter pytree so it jits/pjits/vmaps
+cleanly and torch checkpoints can be imported exactly.
+
+Reproduced forward quirks (they affect checkpoint compatibility):
+  * NaN past-state inputs are zeroed (ref :65);
+  * root-velocity channels 108:111 of the history are zeroed (ref :75);
+  * independent input dropout on IMU features and (heavy, p=0.8) dropout on
+    the past-state history (ref :73,77);
+  * a fixed feature interleave between in_linear and the encoder — the
+    reference reshapes (T,B,heads,hd) and swaps the last two axes (ref
+    :88-89), i.e. a static permutation of the embedding dimension;
+  * post-norm transformer layers with ReLU feed-forward (torch 1.7
+    TransformerEncoderLayer defaults, internal dropout p=0.1);
+  * the RNN hidden state is re-zeroed on every call (ref :95-101).
+
+Deterministic-by-default inference: the reference never switches the model
+out of train mode, so it applies dropout at inference time
+(offline_testing_simple.py:87-99 constructs with past_state_dropout=0.8 and
+the eval() call is commented out). Pass ``train=True`` + rng to reproduce
+that stochastic behaviour; the default is the deterministic path.
+"""
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    input_size_imu: int = 72          # 6*(9+3)
+    size_s: int = 131                 # 18*6 + 3 + 5*4
+    with_acc_sum: bool = True         # +18 input features
+    tf_in_dim: int = 256
+    tf_hid_size: int = 1024
+    n_heads: int = 16
+    tf_layers: int = 4
+    rnn_hid_size: int = 512
+    with_rnn: bool = True
+    in_dropout: float = 0.0
+    past_dropout: float = 0.8
+    layer_dropout: float = 0.1        # torch TransformerEncoderLayer default
+    rnn_dropout: float = 0.0          # single-layer RNN: unused, kept for parity
+
+    @property
+    def input_dim(self) -> int:
+        extra = 18 if self.with_acc_sum else 0
+        return self.input_size_imu + self.size_s + extra
+
+    @property
+    def head_dim(self) -> int:
+        return self.tf_in_dim // self.n_heads
+
+
+def head_interleave_perm(cfg: ModelConfig) -> np.ndarray:
+    """Static permutation equal to reshape(heads, hd).T flattening (ref :88-89)."""
+    d, h = cfg.tf_in_dim, cfg.n_heads
+    hd = d // h
+    return np.arange(d).reshape(h, hd).T.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _uniform(key, shape, bound, dtype):
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def init_params(key, cfg: ModelConfig, dtype=jnp.float32) -> Dict[str, Any]:
+    """Initialise with torch-equivalent distributions (Linear: kaiming-uniform
+    == U(±1/√fan_in); MHA in_proj: xavier-uniform; LN: ones/zeros)."""
+    keys = iter(jax.random.split(key, 64))
+
+    def linear(in_d, out_d):
+        b = 1.0 / math.sqrt(in_d)
+        return {"w": _uniform(next(keys), (in_d, out_d), b, dtype),
+                "b": _uniform(next(keys), (out_d,), b, dtype)}
+
+    d = cfg.tf_in_dim
+    layers = []
+    for _ in range(cfg.tf_layers):
+        xb = math.sqrt(6.0 / (2 * d))
+        layers.append({
+            "w_qkv": _uniform(next(keys), (d, 3 * d), xb, dtype),
+            "b_qkv": jnp.zeros((3 * d,), dtype),
+            "out_proj": linear(d, d),
+            "ff1": linear(d, cfg.tf_hid_size),
+            "ff2": linear(cfg.tf_hid_size, d),
+            "ln1_s": jnp.ones((d,), dtype), "ln1_b": jnp.zeros((d,), dtype),
+            "ln2_s": jnp.ones((d,), dtype), "ln2_b": jnp.zeros((d,), dtype),
+        })
+
+    rb = 1.0 / math.sqrt(cfg.rnn_hid_size)
+    params = {
+        "in_linear": linear(cfg.input_dim, d),
+        "layers": layers,
+        "out": linear(cfg.rnn_hid_size if cfg.with_rnn else d, cfg.size_s),
+    }
+    if cfg.with_rnn:
+        params["rnn"] = {
+            "w_ih": _uniform(next(keys), (d, cfg.rnn_hid_size), rb, dtype),
+            "w_hh": _uniform(next(keys), (cfg.rnn_hid_size, cfg.rnn_hid_size), rb, dtype),
+            "b_ih": _uniform(next(keys), (cfg.rnn_hid_size,), rb, dtype),
+            "b_hh": _uniform(next(keys), (cfg.rnn_hid_size,), rb, dtype),
+        }
+    return params
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _dropout(x, rate, key, train):
+    if not train or rate == 0.0 or key is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def _layer_norm(x, scale, bias, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _attention(layer, x, mask, cfg: ModelConfig, key, train):
+    """Multi-head self-attention, torch-MHA semantics (scale 1/√hd, additive
+    mask, dropout on attention weights when training)."""
+    B, T, d = x.shape
+    h, hd = cfg.n_heads, cfg.head_dim
+    qkv = x @ layer["w_qkv"] + layer["b_qkv"]             # (B,T,3d)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def split_heads(t):
+        return t.reshape(B, T, h, hd).transpose(0, 2, 1, 3)  # (B,h,T,hd)
+
+    q, k, v = split_heads(q), split_heads(k), split_heads(v)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(hd)
+    logits = logits + mask                                 # (T,T) broadcast
+    w = jax.nn.softmax(logits, axis=-1)
+    w = _dropout(w, cfg.layer_dropout, key, train)
+    o = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+    o = o.transpose(0, 2, 1, 3).reshape(B, T, d)
+    return o @ layer["out_proj"]["w"] + layer["out_proj"]["b"]
+
+
+def causal_mask(T, dtype=jnp.float32):
+    """Additive upper-triangular -inf mask (ref :56-58)."""
+    i = jnp.arange(T)[:, None]
+    j = jnp.arange(T)[None, :]
+    return jnp.where(j > i, jnp.asarray(-jnp.inf, dtype), jnp.asarray(0.0, dtype))
+
+
+def forward(params, x_imu, x_s, cfg: ModelConfig, *,
+            train: bool = False, rng: Optional[jax.Array] = None,
+            mask: Optional[jnp.ndarray] = None):
+    """Run the predictor.
+
+    Args:
+      x_imu: (B, T, 72 or 90) IMU features (with acc-sum appended if enabled).
+      x_s:   (B, T, size_s) past-state history.
+      mask:  optional additive attention mask (T, T); defaults to causal.
+    Returns:
+      (B, T, size_s) next-state predictions at every window position.
+    """
+    B, T, _ = x_imu.shape
+    if rng is None:
+        keys = [None] * (2 + 4 * cfg.tf_layers)
+    else:
+        keys = list(jax.random.split(rng, 2 + 4 * cfg.tf_layers))
+
+    x_s = jnp.nan_to_num(x_s, nan=0.0)
+    x_imu = _dropout(x_imu, cfg.in_dropout, keys[0], train)
+    # exclude root velocity from the history input (ref :75)
+    x_s = x_s.at[..., 18 * 6:18 * 6 + 3].set(0.0)
+    x_s = _dropout(x_s, cfg.past_dropout, keys[1], train)
+
+    x = jnp.concatenate([x_imu, x_s], axis=-1)
+    x = x @ params["in_linear"]["w"] + params["in_linear"]["b"]
+
+    perm = head_interleave_perm(cfg)
+    x = x[..., perm]
+
+    if mask is None:
+        mask = causal_mask(T, x.dtype)
+
+    for li, layer in enumerate(params["layers"]):
+        k_attn, k_d1, k_ff, k_d2 = keys[2 + 4 * li: 6 + 4 * li]
+        a = _attention(layer, x, mask, cfg, k_attn, train)
+        x = _layer_norm(x + _dropout(a, cfg.layer_dropout, k_d1, train),
+                        layer["ln1_s"], layer["ln1_b"])
+        f = jax.nn.relu(x @ layer["ff1"]["w"] + layer["ff1"]["b"])
+        f = _dropout(f, cfg.layer_dropout, k_ff, train)
+        f = f @ layer["ff2"]["w"] + layer["ff2"]["b"]
+        x = _layer_norm(x + _dropout(f, cfg.layer_dropout, k_d2, train),
+                        layer["ln2_s"], layer["ln2_b"])
+
+    if cfg.with_rnn:
+        rnn = params["rnn"]
+        xin = x @ rnn["w_ih"] + rnn["b_ih"]                # hoist input matmul
+
+        def cell(h, x_t):
+            h = jnp.tanh(x_t + h @ rnn["w_hh"] + rnn["b_hh"])
+            return h, h
+
+        h0 = jnp.zeros((B, cfg.rnn_hid_size), x.dtype)     # zeroed every call
+        _, hs = jax.lax.scan(cell, h0, xin.transpose(1, 0, 2))
+        x = hs.transpose(1, 0, 2)
+
+    return x @ params["out"]["w"] + params["out"]["b"]
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint import
+# ---------------------------------------------------------------------------
+
+def params_from_torch_state_dict(sd, cfg: ModelConfig, dtype=jnp.float32):
+    """Translate a reference ``TF_RNN_Past_State.state_dict()`` into our pytree.
+
+    Weight-layout notes: torch Linear stores (out, in) — transposed here;
+    MHA packs q/k/v row-wise into in_proj_weight (3d, d).
+    """
+    def t(name):
+        arr = sd[name]
+        if hasattr(arr, "detach"):
+            arr = arr.detach().cpu().numpy()
+        return jnp.asarray(np.asarray(arr), dtype)
+
+    params = {
+        "in_linear": {"w": t("in_linear.weight").T, "b": t("in_linear.bias")},
+        "layers": [],
+        "out": {"w": t("linear.weight").T, "b": t("linear.bias")},
+    }
+    for i in range(cfg.tf_layers):
+        p = f"tf_encode.layers.{i}."
+        params["layers"].append({
+            "w_qkv": t(p + "self_attn.in_proj_weight").T,
+            "b_qkv": t(p + "self_attn.in_proj_bias"),
+            "out_proj": {"w": t(p + "self_attn.out_proj.weight").T,
+                         "b": t(p + "self_attn.out_proj.bias")},
+            "ff1": {"w": t(p + "linear1.weight").T, "b": t(p + "linear1.bias")},
+            "ff2": {"w": t(p + "linear2.weight").T, "b": t(p + "linear2.bias")},
+            "ln1_s": t(p + "norm1.weight"), "ln1_b": t(p + "norm1.bias"),
+            "ln2_s": t(p + "norm2.weight"), "ln2_b": t(p + "norm2.bias"),
+        })
+    if cfg.with_rnn:
+        params["rnn"] = {
+            "w_ih": t("rnn.weight_ih_l0").T, "w_hh": t("rnn.weight_hh_l0").T,
+            "b_ih": t("rnn.bias_ih_l0"), "b_hh": t("rnn.bias_hh_l0"),
+        }
+    return params

@@ -1,0 +1,162 @@
+"""Batched forward kinematics for fixed-topology skeletons.
+
+Replaces the reference's use of PyBullet as an FK engine
+(reference bullet_agent.py + bullet_utils.py:50-159 + the FK driver
+data_utils.py:262-306) with a pure-JAX tree walk:
+
+  * the skeleton tree is static (traced once), so FK unrolls into a fixed
+    sequence of quaternion composes — no dynamic control flow, fully
+    jit/vmap/grad-compatible;
+  * two frame conventions are produced, matching PyBullet's link states:
+    the *joint frame* (URDF link frame, ls[4]/ls[5]) and the *CoM frame*
+    (joint frame shifted by the inertial origin, ls[0]/ls[1]); the reference
+    consumes CoM frames for IMU/SBP work and joint frames for IK.
+
+Quaternions are xyzw throughout.
+"""
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from tip_tpu.chars import amass_skeleton as _amass
+from tip_tpu.chars.amass import AMASS_CHAR
+from tip_tpu.ops import rotations as rot
+
+
+@struct.dataclass
+class Skeleton:
+    """Flat skeleton arrays; static under jit (all leaves are arrays).
+
+    ``scale`` mirrors PyBullet's globalScaling (reference
+    data-gen-and-viz-bullet-new.py:249-261 uses scale = body_height/1.6):
+    it multiplies every translational offset.
+    """
+    parent: np.ndarray = struct.field(pytree_node=False)     # (J,) int
+    is_fixed: np.ndarray = struct.field(pytree_node=False)   # (J,) bool
+    joint_offset: jnp.ndarray                                 # (J, 3) scaled
+    com_offset: jnp.ndarray                                   # (J+1, 3) scaled
+    link_mass: jnp.ndarray                                    # (J+1,)
+
+    @property
+    def n_joints(self) -> int:
+        return len(self.parent)
+
+
+def amass_skeleton(scale: float = 1.0, dtype=jnp.float32) -> Skeleton:
+    """The AMASS humanoid (19 joints: 17 spherical + 2 fixed wrists)."""
+    return Skeleton(
+        parent=tuple(int(p) for p in _amass.PARENT),
+        is_fixed=tuple(bool(f) for f in _amass.IS_FIXED),
+        joint_offset=jnp.asarray(_amass.JOINT_OFFSET * scale, dtype=dtype),
+        com_offset=jnp.asarray(_amass.COM_OFFSET * scale, dtype=dtype),
+        link_mass=jnp.asarray(_amass.LINK_MASS, dtype=dtype),
+    )
+
+
+def skeleton_from_urdf(urdf, scale: float = 1.0, dtype=jnp.float32) -> Skeleton:
+    """Build a Skeleton from a parsed URDF (tip_tpu.utils.urdf.UrdfSkeleton)."""
+    assert np.allclose(urdf.joint_rpy, 0.0), "non-zero joint rpy not supported yet"
+    return Skeleton(
+        parent=tuple(int(p) for p in urdf.parent),
+        is_fixed=tuple(bool(f) for f in urdf.is_fixed),
+        joint_offset=jnp.asarray(urdf.joint_offset * scale, dtype=dtype),
+        com_offset=jnp.asarray(urdf.com_offset * scale, dtype=dtype),
+        link_mass=jnp.asarray(urdf.link_mass, dtype=dtype),
+    )
+
+
+def fk(skel: Skeleton, root_p, root_q, joint_q) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward kinematics.
+
+    Args:
+      root_p: (..., 3) root position (root link frame == root CoM frame for
+        the AMASS character, whose root inertial origin is zero).
+      root_q: (..., 4) root orientation, xyzw.
+      joint_q: (..., J, 4) local joint rotations (identity for fixed joints).
+
+    Returns:
+      pq_com: (..., J+1, 7) CoM-frame (p, q) per link, root first — the layout
+        of the reference's viz_current_frame_and_store_fk_info_include_fixed
+        (data_utils.py:262-306).
+      pq_jf:  (..., J+1, 7) joint-frame (p, q) per link, root first.
+    """
+    J = skel.n_joints
+    qs = [None] * J     # world orientation per link
+    ps = [None] * J     # world joint-frame position per link
+
+    for j in range(J):
+        par = skel.parent[j]
+        if par == -1:
+            q_par, p_par = root_q, root_p
+        else:
+            q_par, p_par = qs[par], ps[par]
+        off = skel.joint_offset[j]
+        ps[j] = p_par + rot.q_rotate(q_par, jnp.broadcast_to(off, p_par.shape))
+        if skel.is_fixed[j]:
+            qs[j] = q_par
+        else:
+            qs[j] = rot.q_mult(q_par, joint_q[..., j, :])
+
+    q_all = jnp.stack([root_q] + qs, axis=-2)            # (..., J+1, 4)
+    p_jf = jnp.stack([root_p] + ps, axis=-2)             # (..., J+1, 3)
+    p_com = p_jf + rot.q_rotate(q_all, skel.com_offset)  # broadcast (J+1,3)
+
+    pq_jf = jnp.concatenate([p_jf, q_all], axis=-1)
+    pq_com = jnp.concatenate([p_com, q_all], axis=-1)
+    return pq_com, pq_jf
+
+
+# ---------------------------------------------------------------------------
+# Pose-format conversions (nimble-ordered state <-> bullet-ordered q <-> FK)
+# ---------------------------------------------------------------------------
+
+# gather: active bullet joint i (0..16 over non-fixed joints) -> nimble aa slot
+_B2N = AMASS_CHAR.bullet_from_nimble_gather                 # (17,)
+_ACTIVE = np.array(AMASS_CHAR.non_root_active_idx, np.int32)  # (17,)
+
+
+def our_pose_to_bullet(s):
+    """Nimble-ordered state (..., 114) -> bullet-ordered pose q (..., 60).
+
+    Matches reference data_utils.our_pose_2_bullet_format (data_utils.py:246-259):
+    [root xyz, root aa, 17 x joint aa in bullet joint order].
+    """
+    joints = s[..., 6:6 + 51].reshape(s.shape[:-1] + (17, 3))
+    reordered = joints[..., _B2N, :].reshape(s.shape[:-1] + (51,))
+    return jnp.concatenate([s[..., :6], reordered], axis=-1)
+
+
+def bullet_pose_to_joint_quats(state_bullet):
+    """Bullet pose q (..., 60) -> (root_p, root_q, joint_q (..., 19, 4)).
+
+    Fixed wrists get identity local rotations.
+    """
+    root_p = state_bullet[..., :3]
+    root_q = rot.aa_to_q(state_bullet[..., 3:6])
+    aa = state_bullet[..., 6:].reshape(state_bullet.shape[:-1] + (17, 3))
+    q_active = rot.aa_to_q(aa)                           # (..., 17, 4)
+
+    # scatter the 17 active quats into 19 slots, identity at fixed wrists
+    J = 19
+    ident = jnp.zeros(state_bullet.shape[:-1] + (J, 4), q_active.dtype)
+    ident = ident.at[..., 3].set(1.0)
+    joint_q = ident.at[..., _ACTIVE, :].set(q_active)
+    return root_p, root_q, joint_q
+
+
+def fk_bullet_state(skel: Skeleton, state_bullet, return_joint_frame=False):
+    """FK from a bullet-format pose vector; reference
+    viz_current_frame_and_store_fk_info_include_fixed equivalent."""
+    root_p, root_q, joint_q = bullet_pose_to_joint_quats(state_bullet)
+    pq_com, pq_jf = fk(skel, root_p, root_q, joint_q)
+    if return_joint_frame:
+        return pq_com, pq_jf
+    return pq_com
+
+
+def fk_our_state(skel: Skeleton, s, return_joint_frame=False):
+    """FK straight from a nimble-ordered 114-d state."""
+    return fk_bullet_state(skel, our_pose_to_bullet(s), return_joint_frame)
