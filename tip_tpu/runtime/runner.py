@@ -1,0 +1,304 @@
+"""Streaming inference runtime — the product's core loop.
+
+TPU-native re-design of the reference's ``RTRunnerMin``
+(real_time_runner_minimal.py:19-200): instead of a Python object mutating
+unbounded lists every frame, the runner is a pure function
+
+    step : (params, carry, imu_t) -> (carry', out_t)
+
+over a fixed-size pytree carry (ring buffers + scalars).  This makes it
+  * jit-able: one compiled program per frame, no host round trips;
+  * scan-able: offline evaluation = ``lax.scan`` over the IMU stream;
+  * vmap-able: batched multi-stream serving = ``vmap`` over carries.
+
+Numerics match the reference step for step once past warmup (tested against
+a numpy transcription in tests/test_runner.py):
+
+  frame pipeline (reference real_time_runner_minimal.py:114-200):
+  1. raw ring: acc smoothed over an 11-frame centered window; orientation
+     delayed 5 frames (fixed 5-frame algorithmic latency) (:59-76);
+  2. per-frame root-local IMU features + running 40-frame acc-sum (:131-141);
+  3. model forward over the (<=40)-frame window; left-aligned with the output
+     read at the last valid index — exactly equal to the reference's
+     variable-length window because attention is causal and the RNN head
+     starts from zero (see tests/test_model.py);
+  4. exponential output filter (0.6^k over last 6 raw outputs) (:87-112);
+  5. state assembly: root ori from IMU0, root xyz integrated from predicted
+     velocity, 2-frame pose blend (:154-167);
+  6. FK + feet-SBP root-drift correction with flat-ground z (:169-194);
+  7. history push for the next frame's autoregressive input (:196).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from tip_tpu import constants as cst
+from tip_tpu.models import tip_model as M
+from tip_tpu.ops import imu as imu_ops
+from tip_tpu.ops import kinematics as kin
+from tip_tpu.ops import rotations as rot
+from tip_tpu.ops import sbp as sbp_ops
+
+
+@dataclass(frozen=True)
+class RunnerConfig:
+    model: M.ModelConfig = M.ModelConfig()
+    n_sbps: int = 5
+    window: int = 40                      # max_input_l
+    imu_n_smooth: int = cst.IMU_N_SMOOTH  # 5
+    with_acc_sum: bool = True
+    dt: float = cst.DT
+    # exponential output filter weights 0.6^[5..0] (reference :57)
+    filter_len: int = 6
+
+    @property
+    def smooth_win(self) -> int:
+        return 2 * self.imu_n_smooth + 1   # 11
+
+    @property
+    def state_dim(self) -> int:
+        return cst.state_dim(self.n_sbps)  # 131 for 5 SBPs
+
+
+def _filter_coeff(cfg: RunnerConfig, dtype):
+    return jnp.asarray(0.6 ** np.arange(cfg.filter_len)[::-1], dtype)
+
+
+@struct.dataclass
+class RunnerCarry:
+    """Fixed-shape runner state. All buffers are time-major rings."""
+    t: jnp.ndarray                 # () int32 — frames seen so far
+    raw_imu: jnp.ndarray           # (11, 72) raw ring, newest last
+    k: jnp.ndarray                 # () int32 — valid smoothed frames (<= 40)
+    imu_win: jnp.ndarray           # (40, 72) root-local features, left-aligned
+    accsum_win: jnp.ndarray        # (40, 18) acc-sum features (unscaled)
+    acc_runsum: jnp.ndarray        # (18,) running 40-frame local-acc sum
+    s_and_c_win: jnp.ndarray       # (40, state_dim) autoregressive history
+    out_buf: jnp.ndarray           # (6, state_dim) raw outputs for the filter
+    n_out: jnp.ndarray             # () int32 — outputs produced so far
+    last_s: jnp.ndarray            # (114,) previous assembled state
+    prev_pq: jnp.ndarray           # (20, 7) previous FK frames
+    prev_root: jnp.ndarray         # (3,) previous root xyz (post-correction)
+    c_locs: jnp.ndarray            # (n_sbps, 3)
+    s_init: jnp.ndarray            # (114,) initial state (warmup output)
+
+
+def state_to_history(s, c, n_sbps: int):
+    """(114,) state + (n_sbps*4,) SBP vector -> (state_dim,) history entry.
+
+    Reference record_state_aa_and_c (real_time_runner_minimal.py:78-85):
+    channels [root_aa + 17 joint aa] as two-axis 6D (108) + root velocity (3)
+    + SBP vector.
+    """
+    aa = s[3:3 + 54].reshape(18, 3)
+    sixd = rot.aa_to_sixd(aa).reshape(108)
+    root_v = s[cst.N_DOFS:cst.N_DOFS + 3]
+    return jnp.concatenate([sixd, root_v, c])
+
+
+def runner_init(cfg: RunnerConfig, skel: kin.Skeleton, s_init,
+                dtype=jnp.float32) -> RunnerCarry:
+    s_init = jnp.asarray(s_init, dtype)
+    sd = cfg.state_dim
+    hist0 = state_to_history(s_init, jnp.zeros(cfg.n_sbps * 4, dtype), cfg.n_sbps)
+    s_and_c = jnp.zeros((cfg.window, sd), dtype).at[0].set(hist0)
+    pq0 = kin.fk_our_state(skel, s_init)
+    return RunnerCarry(
+        t=jnp.zeros((), jnp.int32),
+        raw_imu=jnp.zeros((cfg.smooth_win, cst.IMU_DIM), dtype),
+        k=jnp.zeros((), jnp.int32),
+        imu_win=jnp.zeros((cfg.window, cst.IMU_DIM), dtype),
+        accsum_win=jnp.zeros((cfg.window, cst.ACC_SUM_DIM), dtype),
+        acc_runsum=jnp.zeros((cst.ACC_SUM_DIM,), dtype),
+        s_and_c_win=s_and_c,
+        out_buf=jnp.zeros((cfg.filter_len, sd), dtype),
+        n_out=jnp.zeros((), jnp.int32),
+        last_s=s_init,
+        prev_pq=pq0.astype(dtype),
+        prev_root=s_init[:3],
+        c_locs=jnp.full((cfg.n_sbps, 3), 100.0, dtype),
+        s_init=s_init,
+    )
+
+
+def _push_left_aligned(win, k, x, window: int):
+    """Append x to a left-aligned ring: write at slot k while k < window,
+    else shift left and write at the end."""
+    shifted = jnp.roll(win, -1, axis=0).at[window - 1].set(x)
+    grown = win.at[jnp.minimum(k, window - 1)].set(x)
+    return jnp.where(k < window, grown, shifted)
+
+
+def runner_step(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
+                skel: kin.Skeleton,
+                rng: Optional[jax.Array] = None):
+    """One 60 Hz frame. Returns (carry', dict(qdq, viz_locs, ct))."""
+    dtype = carry.imu_win.dtype
+    cur_imu = jnp.asarray(cur_imu, dtype)
+    n_sbps = cfg.n_sbps
+    W = cfg.window
+
+    # ---- 1. raw ring + smoothing (ref :59-76) --------------------------------
+    first = carry.t == 0
+    raw = jnp.where(first,
+                    jnp.broadcast_to(cur_imu, carry.raw_imu.shape),
+                    jnp.roll(carry.raw_imu, -1, axis=0).at[-1].set(cur_imu))
+    # smoothed frame available from t >= imu_n_smooth
+    have_smoothed = carry.t >= cfg.imu_n_smooth
+    ori = raw[cfg.imu_n_smooth, :54]                  # 5-frame-delayed orientations
+    acc = jnp.mean(raw[:, 54:72], axis=0)             # 11-frame average
+    smoothed = jnp.concatenate([ori, acc])
+
+    # ---- 2. per-frame local features + acc-sum (ref :131-141) ---------------
+    local = imu_ops.imu_rotate_to_local(smoothed[None])[0]
+    evicted = carry.imu_win[0, 54:72]                 # leaves 40-window on push
+    win_full = carry.k >= W
+    runsum = carry.acc_runsum + local[54:72] - jnp.where(win_full, evicted, 0.0)
+
+    k_new = jnp.where(have_smoothed, carry.k + 1, carry.k)
+    imu_win = jnp.where(have_smoothed,
+                        _push_left_aligned(carry.imu_win, carry.k, local, W),
+                        carry.imu_win)
+    accsum_win = jnp.where(have_smoothed,
+                           _push_left_aligned(carry.accsum_win, carry.k, runsum, W),
+                           carry.accsum_win)
+    acc_runsum = jnp.where(have_smoothed, runsum, carry.acc_runsum)
+
+    active = k_new >= 1          # model has at least one frame
+
+    # ---- 3. model forward (ref :143-150) -------------------------------------
+    x_imu = imu_win
+    if cfg.with_acc_sum:
+        x_imu = jnp.concatenate(
+            [imu_win, accsum_win / cst.ACC_SUM_DOWN_SCALE], axis=-1)
+    y = M.forward(params, x_imu[None], carry.s_and_c_win[None], cfg.model,
+                  rng=rng, train=rng is not None)
+    last_idx = jnp.maximum(k_new - 1, 0)
+    y_t = y[0, last_idx]                               # (state_dim,)
+
+    # ---- 4. exponential output filter (ref :87-112) --------------------------
+    out_buf = jnp.where(active,
+                        jnp.roll(carry.out_buf, -1, axis=0).at[-1].set(y_t),
+                        carry.out_buf)
+    n_out = jnp.where(active, carry.n_out + 1, carry.n_out)
+    coeff = _filter_coeff(cfg, dtype)
+    y_smooth = jnp.sum(out_buf * coeff[:, None], axis=0) / jnp.sum(coeff)
+    y_f = jnp.where(n_out >= cfg.filter_len, y_smooth, y_t)
+
+    st_2axis = y_f[:-n_sbps * 4 - 3]                   # (108,)
+    root_v = y_f[108:111]
+    c_t = y_f[-n_sbps * 4:]
+    flags = (c_t[0::4] > 0.0).astype(dtype)
+    offs = c_t.reshape(n_sbps, 4)[:, 1:] / 5.0
+    c_t = jnp.concatenate([flags[:, None], offs], axis=1).reshape(-1)
+
+    # ---- 5. state assembly (ref :154-167) -------------------------------------
+    st_aa = rot.sixd_to_aa(st_2axis.reshape(18, 6)).reshape(54)
+    root_aa = rot.matrix_to_aa(local[:9].reshape(3, 3))
+    s_t = jnp.zeros(2 * cst.N_DOFS, dtype)
+    s_t = s_t.at[cst.N_DOFS:cst.N_DOFS + 3].set(root_v)
+    s_t = s_t.at[:3].set(carry.prev_root + root_v * cfg.dt)
+    s_t = s_t.at[6:cst.N_DOFS].set(st_aa[3:])          # model joints
+    s_t = s_t.at[3:6].set(root_aa)                     # root ori from IMU0
+    has_last = carry.n_out >= 1                        # last_s was a real frame
+    blended = s_t.at[6:].set((s_t[6:] + carry.last_s[6:]) / 2.0)
+    s_t = jnp.where(has_last, blended, s_t)
+
+    # ---- 6. FK + SBP root correction (ref :169-194) ---------------------------
+    pq_g, pq_g_jf = kin.fk_our_state(skel, s_t, return_joint_frame=True)
+    corr = sbp_ops.root_correction_from_constrs(
+        carry.prev_pq, pq_g, c_t, n_sbps=n_sbps, use_n_sbps=min(5, n_sbps),
+        dt=cfg.dt)
+    vel_res = corr.vel_res
+    # flat-ground assumption: z correction pulls active feet SBPs to z=0
+    z = (jnp.where(corr.active[0], corr.c_locs[0, 2], 0.0)
+         + jnp.where(corr.active[1], corr.c_locs[1, 2], 0.0))
+    vel_res = vel_res.at[2].set(z)
+
+    c_locs = corr.c_locs - vel_res[None, :] * cfg.dt
+    s_t = s_t.at[:3].add(-vel_res * cfg.dt)
+    pq_g = pq_g.at[:, :3].add(-vel_res[None, :] * cfg.dt)
+
+    # ---- 7. history push (ref :196) -------------------------------------------
+    hist = state_to_history(s_t, c_t, n_sbps)
+    s_and_c_win = jnp.where(
+        active,
+        _push_left_aligned(carry.s_and_c_win, k_new, hist, W),
+        carry.s_and_c_win)
+
+    # ---- outputs / carry (warmup: return s_init, freeze state) ----------------
+    out_qdq = jnp.where(active, s_t, carry.s_init)
+    out_viz = jnp.where(active, c_locs, jnp.full((n_sbps, 3), 100.0, dtype))
+    out_ct = jnp.where(active, c_t, jnp.zeros_like(c_t))
+
+    new_carry = RunnerCarry(
+        t=carry.t + 1,
+        raw_imu=raw,
+        k=k_new,
+        imu_win=imu_win,
+        accsum_win=accsum_win,
+        acc_runsum=acc_runsum,
+        s_and_c_win=s_and_c_win,
+        out_buf=out_buf,
+        n_out=n_out,
+        last_s=jnp.where(active, s_t, carry.last_s),
+        prev_pq=jnp.where(active, pq_g, carry.prev_pq),
+        prev_root=jnp.where(active, s_t[:3], carry.prev_root),
+        c_locs=jnp.where(active, c_locs, carry.c_locs),
+        s_init=carry.s_init,
+    )
+    return new_carry, {"qdq": out_qdq, "viz_locs": out_viz, "ct": out_ct}
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def run_offline(params, cfg: RunnerConfig, skel: kin.Skeleton, s_init,
+                imu_seq):
+    """Stream a recorded IMU sequence through the runner via lax.scan.
+
+    Mirrors the offline driver loop (offline_testing_simple.py:109-155):
+    s_traj_pred[0] = s_init, then s_traj_pred[t+1] = step(imu[t]).  The
+    latency trim (IMU_n_smooth + 2 frames) is applied by the caller.
+
+    Returns (s_traj (T, 114), c_traj (T, n_sbps*4), viz (T, n_sbps, 3)).
+    """
+    s_init = jnp.asarray(s_init)
+    carry = runner_init(cfg, skel, s_init, dtype=s_init.dtype)
+
+    def scan_step(c, imu_t):
+        c, out = runner_step(params, c, imu_t, cfg, skel)
+        return c, (out["qdq"], out["ct"], out["viz_locs"])
+
+    _, (s_traj, c_traj, viz) = jax.lax.scan(scan_step, carry, imu_seq[:-1])
+    s_init_row = jnp.asarray(s_init, s_traj.dtype)[None]
+    s_traj = jnp.concatenate([s_init_row, s_traj], axis=0)
+    c_traj = jnp.concatenate([jnp.zeros_like(c_traj[:1]), c_traj], axis=0)
+    viz = jnp.concatenate([jnp.full_like(viz[:1], 100.0), viz], axis=0)
+    return s_traj, c_traj, viz
+
+
+def trim_latency(arr, trim: int):
+    """Shift predictions earlier by ``trim`` frames, repeating the final frame
+    (reference offline_testing_simple.py:148-153). Host-side numpy ok."""
+    arr = np.asarray(arr).copy()
+    arr[0:-trim] = arr[trim:]
+    arr[-trim:] = arr[-trim - 1]
+    return arr
+
+
+def make_multi_stream_step(cfg: RunnerConfig, skel: kin.Skeleton):
+    """vmap-batched runner step: serve many IMU streams on one chip.
+
+    Returns step(params, carries, imu_batch) with carries/imu batched on
+    axis 0. New capability vs the reference (single-stream only) — see
+    SURVEY.md §2.8.
+    """
+    def one(params, carry, imu_t):
+        return runner_step(params, carry, imu_t, cfg, skel)
+
+    return jax.jit(jax.vmap(one, in_axes=(None, 0, 0)))
