@@ -1,0 +1,75 @@
+"""Headline benchmark: single-stream per-frame inference latency.
+
+Measures the full streaming runner step (IMU smoothing + features + flagship
+model forward + FK + SBP root correction) end to end per 60 Hz frame,
+including the host->device transfer of the IMU frame and the device->host
+read-back of the predicted pose — i.e. what a live demo loop pays.
+
+Baseline: the reference runs this loop at 60 Hz on a desktop GPU, i.e. a
+16.7 ms/frame budget (reference live_demo_new.py:29,307; BASELINE.md).
+Target (BASELINE.json): < 1 ms p50.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tip_tpu.models import tip_model as M
+    from tip_tpu.ops import kinematics as kin
+    from tip_tpu.runtime import runner as R
+
+    cfg = R.RunnerConfig()                      # flagship model config
+    params = M.init_params(jax.random.PRNGKey(0), cfg.model)
+    skel = kin.amass_skeleton()
+
+    s_init = np.zeros(114, np.float32)
+    s_init[2] = 0.9
+    s_init[3:6] = [1.20919958, 1.20919958, 1.20919958]
+
+    step = jax.jit(
+        lambda p, c, x: R.runner_step(p, c, x, cfg, skel))
+
+    carry = R.runner_init(cfg, skel, jnp.asarray(s_init))
+
+    rng = np.random.default_rng(0)
+    frames = []
+    from scipy.spatial.transform import Rotation
+    base = Rotation.from_rotvec(rng.normal(size=(6, 3)) * 0.3)
+    for _ in range(320):
+        base = Rotation.from_rotvec(rng.normal(size=(6, 3)) * 0.02) * base
+        frames.append(np.concatenate([
+            base.as_matrix().reshape(-1),
+            rng.normal(size=18) * 0.5]).astype(np.float32))
+
+    # warmup / compile
+    for t in range(20):
+        carry, out = step(params, carry, frames[t])
+    np.asarray(out["qdq"])
+
+    lat = []
+    for t in range(20, 320):
+        t0 = time.perf_counter()
+        carry, out = step(params, carry, frames[t])
+        _ = np.asarray(out["qdq"])              # host read-back each frame
+        lat.append(time.perf_counter() - t0)
+
+    p50_ms = float(np.percentile(lat, 50) * 1e3)
+    baseline_ms = 1000.0 / 60.0                  # reference real-time budget
+    print(json.dumps({
+        "metric": "single_stream_p50_frame_latency",
+        "value": round(p50_ms, 4),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / p50_ms, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

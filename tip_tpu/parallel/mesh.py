@@ -1,0 +1,70 @@
+"""Device mesh + sharding rules.
+
+The reference is single-process/single-GPU (SURVEY.md §2.8) — this module is
+the new framework's scaling layer: a (data, model) mesh where
+
+  * the batch shards over ``data`` (primary parallelism; gradients are
+    all-reduced by XLA via the sharded-jit partitioner),
+  * parameters optionally shard over ``model`` (tensor parallelism — overkill
+    for a ~3.7M-param model, provided for completeness; XLA inserts the
+    all-gathers/reduce-scatters on ICI).
+"""
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (
+        f"mesh {n_data}x{n_model} needs more than {len(devices)} devices")
+    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_shardings(mesh: Mesh, params) -> dict:
+    """Tensor-parallel PartitionSpecs for the TIP model parameter pytree.
+
+    Megatron-style: attention qkv and ff1 shard their output dim, out_proj
+    and ff2 shard their input dim; everything else replicates. With
+    n_model == 1 this degrades to full replication.
+    """
+    def spec_for(path: str, leaf) -> P:
+        if ".layers." not in path:
+            return P()
+        if path.endswith("w_qkv") or path.endswith("ff1.w"):
+            return P(None, MODEL_AXIS)
+        if path.endswith("b_qkv") or path.endswith("ff1.b"):
+            return P(MODEL_AXIS)
+        if path.endswith("out_proj.w") or path.endswith("ff2.w"):
+            return P(MODEL_AXIS, None)
+        return P()
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+
+    def path_str(kp):
+        return ".".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in kp)
+
+    specs = [NamedSharding(mesh, spec_for(path_str(kp), leaf))
+             for kp, leaf in flat]
+    return jax.tree_util.tree_unflatten(treedef, specs)

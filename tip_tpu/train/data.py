@@ -1,0 +1,95 @@
+"""Training-window sampling from packed blobs.
+
+Replaces the reference's TrainSubDataset (training_data_loader.py:11-88),
+which re-loads the full blobs from disk and materialises every sampled window
+at the start of *every epoch*.  Here the blobs are memory-mapped once and
+windows are gathered lazily per batch; re-sampling an epoch is just drawing
+new window-end indices.
+
+Blob format (produced by tip_tpu.data_gen.combine, identical to the
+reference's preprocess_and_combine_syn_amass.py:16-178):
+  imu_*.npy      (N, 72)  root-local IMU features, float32
+  sum_imu_*.npy  (N, 18)  scaled acc-sum features
+  s_*.npy        (N, 131) [108 two-axis pose, 3 root vel, n_sbps*4 SBP]
+  info_*.npy     (M, 3)   [start_frame, end_frame, downsample_rate] segments
+"""
+
+import dataclasses
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class PackedDataset:
+    imu: np.ndarray        # (N, 72)
+    acc_sum: np.ndarray    # (N, 18) or None
+    s: np.ndarray          # (N, state_dim)
+    info: np.ndarray       # (M, 3)
+
+    @classmethod
+    def load(cls, imu_path: str, s_path: str, info_path: str,
+             with_acc_sum: bool = True) -> "PackedDataset":
+        return cls(
+            imu=np.load(imu_path, mmap_mode="r"),
+            acc_sum=(np.load(imu_path.replace("imu", "sum_imu"), mmap_mode="r")
+                     if with_acc_sum else None),
+            s=np.load(s_path, mmap_mode="r"),
+            info=np.asarray(np.load(info_path)),
+        )
+
+
+def sample_epoch_indices(info: np.ndarray, seq_len: int,
+                         rng: np.random.Generator) -> np.ndarray:
+    """Window-end indices for one epoch.
+
+    Per segment [start, end, downsample]: candidate ends are
+    start+seq_len .. end-2 (so targets s[t-seq_len+1 : t+1] stay in range);
+    sample round(n_candidates / downsample) of them without replacement
+    (>= 1), matching training_data_loader.py:43-58.
+    """
+    out = []
+    for start, end, rate in info.astype(np.int64):
+        lo, hi = start + seq_len, end - 1
+        n = hi - lo
+        if n <= 0:
+            continue
+        k = max(int(round(n / rate)), 1)
+        out.append(rng.choice(np.arange(lo, hi), size=min(k, n), replace=False))
+    idx = np.concatenate(out) if out else np.zeros((0,), np.int64)
+    rng.shuffle(idx)
+    return idx
+
+
+def gather_batch(ds: PackedDataset, ends: np.ndarray, seq_len: int
+                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Windows for a batch of end indices.
+
+    Returns (x_imu (B,T,72[+18]), x_s (B,T,sd), y (B,T,sd)) with x_s the
+    teacher-forced history s[t-T:t] and y the next-state targets s[t-T+1:t+1]
+    (training_data_loader.py:73-85).
+    """
+    T = seq_len
+    offs = np.arange(-T, 0)
+    win = ends[:, None] + offs              # (B, T)
+    x_imu = ds.imu[win]
+    if ds.acc_sum is not None:
+        x_imu = np.concatenate([x_imu, ds.acc_sum[win]], axis=-1)
+    x_s = ds.s[win]
+    y = ds.s[win + 1]
+    return (np.ascontiguousarray(x_imu, np.float32),
+            np.ascontiguousarray(x_s, np.float32),
+            np.ascontiguousarray(y, np.float32))
+
+
+def epoch_batches(ds: PackedDataset, seq_len: int, batch_size: int,
+                  rng: np.random.Generator, drop_remainder: bool = True
+                  ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """One epoch of shuffled batches (fresh window re-sampling per epoch)."""
+    idx = sample_epoch_indices(ds.info, seq_len, rng)
+    n_full = len(idx) // batch_size
+    for b in range(n_full):
+        ends = idx[b * batch_size:(b + 1) * batch_size]
+        yield gather_batch(ds, ends, seq_len)
+    if not drop_remainder and len(idx) % batch_size:
+        yield gather_batch(ds, idx[n_full * batch_size:], seq_len)

@@ -1,0 +1,224 @@
+"""pjit data-parallel training of the TIP state predictor.
+
+Reference recipe (train_model.py:21-74,129-217 and README step 4): Adam(W),
+cosine LR stepped per *batch* with T_max = epochs + 850, grad-clip 5.0,
+uniform history-noise injection, per-epoch window re-sampling, loss =
+jerk + pose/root-vel + SBP.  Re-designed for TPU:
+
+  * one jitted train step over a (data, model) mesh: batch sharded over
+    ``data``, params replicated (or tensor-sharded over ``model``); gradient
+    all-reduce is inserted by the XLA partitioner;
+  * full training state (params + optimizer moments + step + PRNG key)
+    checkpointed with orbax for exact resume — fixing the reference's
+    weights-only checkpoints ("TODO: better also to load Adam state",
+    train_model.py:109-111);
+  * bf16 matmuls optional via ModelConfig dtype at call sites (f32 default).
+"""
+
+import dataclasses
+import math
+import os
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from tip_tpu.models import losses as L
+from tip_tpu.models import tip_model as M
+from tip_tpu.parallel import mesh as mesh_lib
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    model: M.ModelConfig = M.ModelConfig()
+    n_sbps: int = 5
+    batch_size: int = 256
+    seq_len: int = 40
+    lr: float = 1e-4
+    optimizer: str = "Adam"            # or "AdamW"
+    weight_decay: float = 1e-4
+    clip: float = 5.0
+    epochs: int = 1100
+    cosine_lr: bool = True
+    cosine_extra: int = 850            # T_max = epochs + cosine_extra
+    noise_input_hist: float = 0.15
+    seed: int = 5104
+    log_interval: int = 100
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray      # () int32 — per-batch updates so far
+    rng: jax.Array
+
+
+def lr_schedule(cfg: TrainConfig):
+    """torch CosineAnnealingLR semantics with eta_min=0, stepped per batch:
+    lr(t) = lr0 * (1 + cos(pi * t / T_max)) / 2 — periodic beyond T_max,
+    exactly as the reference's per-batch stepping produces."""
+    t_max = cfg.epochs + cfg.cosine_extra
+
+    def sched(step):
+        if not cfg.cosine_lr:
+            return cfg.lr
+        return cfg.lr * (1.0 + jnp.cos(jnp.pi * step / t_max)) / 2.0
+
+    return sched
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    sched = lr_schedule(cfg)
+    if cfg.optimizer == "AdamW":
+        opt = optax.adamw(sched, weight_decay=cfg.weight_decay)
+    else:
+        opt = optax.adam(sched)
+    chain = [opt]
+    if cfg.clip > 0:
+        chain = [optax.clip_by_global_norm(cfg.clip)] + chain
+    return optax.chain(*chain)
+
+
+def init_state(cfg: TrainConfig, key: Optional[jax.Array] = None) -> TrainState:
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+    k_init, k_run = jax.random.split(key)
+    params = M.init_params(k_init, cfg.model)
+    opt_state = make_optimizer(cfg).init(params)
+    return TrainState(params=params, opt_state=opt_state,
+                      step=jnp.zeros((), jnp.int32), rng=k_run)
+
+
+def loss_fn(params, x_imu, x_s, y, rng, cfg: TrainConfig):
+    """Composite loss (reference train_model.py:152-187)."""
+    k_noise, k_model = jax.random.split(rng)
+    noise = (jax.random.uniform(k_noise, x_s.shape, x_s.dtype)
+             - 0.5) * (2.0 * cfg.noise_input_hist)
+    y_pred = M.forward(params, x_imu, x_s + noise, cfg.model,
+                       train=True, rng=k_model)
+
+    nc = cfg.n_sbps * 4
+    l_jerk = L.loss_jerk(y_pred[:, :, :-3 - nc])
+    yp = y_pred.reshape(-1, y_pred.shape[-1])
+    yt = y.reshape(-1, y.shape[-1])
+    l_q = L.loss_q_only_2axis(yt[:, :-nc], yp[:, :-nc])
+    l_c = L.loss_constr_multi(yt[:, -nc:], yp[:, -nc:], cfg.n_sbps)
+    total = l_q + l_c + l_jerk
+    return total, {"loss": total, "loss_q": l_q, "loss_c": l_c,
+                   "loss_jerk": l_jerk}
+
+
+def make_train_step(cfg: TrainConfig, mesh=None):
+    """Jitted train step; with a mesh, the batch shards over the data axis and
+    params follow parallel.mesh.param_shardings."""
+    opt = make_optimizer(cfg)
+
+    def step_fn(state: TrainState, x_imu, x_s, y):
+        rng, sub = jax.random.split(state.rng)
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, x_imu, x_s, y, sub, cfg)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        aux["grad_norm"] = optax.global_norm(grads)
+        aux["lr"] = lr_schedule(cfg)(state.step)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1, rng=rng), aux
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    bs = mesh_lib.batch_sharding(mesh)
+    rep = mesh_lib.replicated(mesh)
+
+    def sharded_step(state, x_imu, x_s, y):
+        x_imu = jax.lax.with_sharding_constraint(x_imu, bs)
+        x_s = jax.lax.with_sharding_constraint(x_s, bs)
+        y = jax.lax.with_sharding_constraint(y, bs)
+        return step_fn(state, x_imu, x_s, y)
+
+    return jax.jit(sharded_step, donate_argnums=(0,),
+                   in_shardings=(None, bs, bs, bs))
+
+
+def shard_state(state: TrainState, mesh) -> TrainState:
+    """Place params/opt-state per the TP sharding rules, scalars replicated."""
+    p_shard = mesh_lib.param_shardings(mesh, state.params)
+    rep = mesh_lib.replicated(mesh)
+    params = jax.device_put(state.params, p_shard)
+    opt_state = jax.device_put(
+        state.opt_state,
+        jax.tree_util.tree_map(
+            lambda x: rep, state.opt_state,
+            is_leaf=lambda x: isinstance(x, (jnp.ndarray, np.ndarray))))
+    return TrainState(params=params, opt_state=opt_state,
+                      step=jax.device_put(state.step, rep),
+                      rng=jax.device_put(state.rng, rep))
+
+
+# ---------------------------------------------------------------------------
+# checkpointing (orbax): full state, resume-exact
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, step: int):
+    import orbax.checkpoint as ocp
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    with ocp.CheckpointManager(ckpt_dir) as mngr:
+        mngr.save(step, args=ocp.args.StandardSave(
+            {"params": state.params, "opt_state": state.opt_state,
+             "step": state.step, "rng": state.rng}))
+        mngr.wait_until_finished()
+
+
+def restore_checkpoint(ckpt_dir: str, cfg: TrainConfig,
+                       step: Optional[int] = None) -> TrainState:
+    import orbax.checkpoint as ocp
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    template = init_state(cfg)
+    with ocp.CheckpointManager(ckpt_dir) as mngr:
+        step = step if step is not None else mngr.latest_step()
+        restored = mngr.restore(step, args=ocp.args.StandardRestore(
+            {"params": template.params, "opt_state": template.opt_state,
+             "step": template.step, "rng": template.rng}))
+    return TrainState(params=restored["params"],
+                      opt_state=restored["opt_state"],
+                      step=restored["step"], rng=restored["rng"])
+
+
+def train_loop(cfg: TrainConfig, dataset, *, mesh=None, ckpt_dir=None,
+               log_fn=print, max_epochs: Optional[int] = None):
+    """Full training driver (reference train_model.py:242-244 epoch loop).
+
+    dataset: tip_tpu.train.data.PackedDataset. Returns the final TrainState.
+    """
+    from tip_tpu.train import data as data_lib
+
+    state = init_state(cfg)
+    if mesh is not None:
+        state = shard_state(state, mesh)
+    step_fn = make_train_step(cfg, mesh)
+    np_rng = np.random.default_rng(cfg.seed)
+
+    epochs = max_epochs if max_epochs is not None else cfg.epochs
+    for ep in range(1, epochs + 1):
+        running = []
+        for bi, (x_imu, x_s, y) in enumerate(data_lib.epoch_batches(
+                dataset, cfg.seq_len, cfg.batch_size, np_rng)):
+            state, aux = step_fn(state, jnp.asarray(x_imu),
+                                 jnp.asarray(x_s), jnp.asarray(y))
+            running.append(float(aux["loss"]))
+            if (bi + 1) % cfg.log_interval == 0:
+                log_fn({"epoch": ep, "batch": bi + 1,
+                        "loss": float(np.mean(running[-cfg.log_interval:])),
+                        "lr": float(aux["lr"]),
+                        "grad_norm": float(aux["grad_norm"])})
+        if ckpt_dir and (ep == 1 or ep % 10 == 0):
+            save_checkpoint(ckpt_dir, state, ep)
+        log_fn({"epoch": ep, "mean_loss": float(np.mean(running)) if running
+                else None})
+    if ckpt_dir:
+        save_checkpoint(ckpt_dir, state, epochs)
+    return state
