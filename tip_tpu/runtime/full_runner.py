@@ -1,0 +1,255 @@
+"""Full streaming runner: terrain estimation + SBP-conditioned limb IK.
+
+Equivalent of the reference's ``RTRunner`` (real_time_runner.py:24-500),
+built on the shared sensing/prediction front-end of
+``tip_tpu.runtime.runner``. Per frame, beyond the minimal runner:
+
+  * the root z correction comes from the terrain height-region maps instead
+    of the flat-ground SBP heights (ref :462-472);
+  * each foot SBP runs an "establishing phase" tick counter before its
+    height is committed to the map (ref :264-277);
+  * optionally (multi_sbp flag) the pelvis SBP also feeds the terrain when
+    far from the feet (ref :475-480), and accumulated per-limb velocity
+    residues drive analytic two-joint IK corrections that are written into
+    the autoregressive *history* only — feedback, not display (ref :334-382,
+    483-495);
+  * a ground-truth playback mode substitutes (s_gt, c_gt) for the model
+    (ref :397-401) while still exercising FK/SBP/terrain.
+"""
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from tip_tpu import constants as cst
+from tip_tpu.chars.amass import IK_CHAIN_BULLET, IK_CHAIN_NIMBLE
+from tip_tpu.ops import ik as ik_ops
+from tip_tpu.ops import kinematics as kin
+from tip_tpu.ops import rotations as rot
+from tip_tpu.ops import sbp as sbp_ops
+from tip_tpu.runtime import terrain as terrain_lib
+from tip_tpu.runtime.runner import (RunnerCarry, RunnerConfig,
+                                    _push_left_aligned, runner_init,
+                                    sense_and_predict, state_to_history)
+
+# SBP order: lankle, rankle, lwrist, rwrist, root (chars.amass.SBP_LINKS)
+_TICK_LINKS = (0, 1, 4)     # lankle, rankle, root carry establishing ticks
+
+
+@dataclass(frozen=True)
+class FullRunnerConfig:
+    base: RunnerConfig = RunnerConfig()
+    terrain: terrain_lib.TerrainConfig = terrain_lib.TerrainConfig()
+    multi_sbp: bool = False           # terrain-from-root + IK feedback
+    playback_gt: bool = False
+
+
+@struct.dataclass
+class FullCarry:
+    base: RunnerCarry
+    terrain: terrain_lib.TerrainState
+    ticks: jnp.ndarray          # (3,) int32 for (lankle, rankle, root); -1 idle
+    ik_deltas: jnp.ndarray      # (2, 3) accumulated targets for (lankle, rankle)
+    c_locs_prev: jnp.ndarray    # (n_sbps, 3)
+
+
+def full_runner_init(cfg: FullRunnerConfig, skel: kin.Skeleton, s_init,
+                     dtype=jnp.float32) -> FullCarry:
+    base = runner_init(cfg.base, skel, s_init, dtype)
+    return FullCarry(
+        base=base,
+        terrain=terrain_lib.terrain_init(cfg.terrain, dtype),
+        ticks=jnp.full((3,), -1, jnp.int32),
+        ik_deltas=jnp.zeros((2, 3), dtype),
+        c_locs_prev=jnp.full((cfg.base.n_sbps, 3), 100.0, dtype),
+    )
+
+
+def _update_ticks(ticks, c_locs, c_locs_prev):
+    """Establishing-phase countdown (reference
+    update_sbp_establishing_height_ticks, real_time_runner.py:264-277)."""
+    idx = jnp.asarray(_TICK_LINKS)
+    active_now = jnp.linalg.norm(c_locs[idx], axis=1) < 100.0
+    active_prev = jnp.linalg.norm(c_locs_prev[idx], axis=1) < 100.0
+    t = jnp.where(ticks >= 0, ticks - 1, ticks)
+    # contact just ended -> finalize immediately
+    t = jnp.where((~active_now) & active_prev & (ticks >= 0), 0, t)
+    return t
+
+
+def _ik_history_feedback(cfg: FullRunnerConfig, s_hist, pq_jf, raw_residues,
+                         ik_deltas, side: int, dt):
+    """Two-joint leg IK writing into the history state (reference
+    correct_joint_q_for_history_feedback, real_time_runner.py:334-382).
+    side: 0 = lankle, 1 = rankle."""
+    link_name = "lankle" if side == 0 else "rankle"
+    i_p, i_a, i_b, i_c = IK_CHAIN_BULLET[link_name]
+    j_a, j_b, j_c = IK_CHAIN_NIMBLE[link_name]
+
+    root_res = raw_residues[4]
+    sbp_res = raw_residues[side]
+    both = (~jnp.any(jnp.isnan(sbp_res))) & (~jnp.any(jnp.isnan(root_res)))
+
+    delta = ik_deltas[side] + jnp.where(
+        both, (jnp.nan_to_num(sbp_res) - jnp.nan_to_num(root_res)) * dt, 0.0)
+    corr = -delta
+    n = jnp.linalg.norm(corr)
+    overflow = n > 0.5
+    apply_ik = both & (~overflow) & (n > 0.05)
+
+    a_q, b_q, c_q = ik_ops.leg_two_joint_ik_keep_foot(
+        pq_jf[i_p + 1], pq_jf[i_a + 1], pq_jf[i_b + 1], pq_jf[i_c + 1], corr)
+    a_aa, b_aa, c_aa = (rot.q_to_aa(q) for q in (a_q, b_q, c_q))
+
+    def put(s, j, aa):
+        sl = s[3 + j * 3: 6 + j * 3]
+        return s.at[3 + j * 3: 6 + j * 3].set(jnp.where(apply_ik, aa, sl))
+
+    s_hist = put(put(put(s_hist, j_a, a_aa), j_b, b_aa), j_c, c_aa)
+    new_delta = jnp.where(both & ~overflow, delta, 0.0)
+    return s_hist, ik_deltas.at[side].set(new_delta)
+
+
+def full_runner_step(params, carry: FullCarry, cur_imu,
+                     cfg: FullRunnerConfig, skel: kin.Skeleton,
+                     rng: Optional[jax.Array] = None,
+                     s_gt=None, c_gt=None):
+    """One frame (reference RTRunner.step, real_time_runner.py:384-500)."""
+    b = carry.base
+    bcfg = cfg.base
+    dtype = b.imu_win.dtype
+    n_sbps = bcfg.n_sbps
+    W = bcfg.window
+
+    (raw, k_new, imu_win, accsum_win, acc_runsum, out_buf, n_out, active,
+     s_pred, c_pred) = sense_and_predict(params, b, cur_imu, bcfg, rng)
+
+    if cfg.playback_gt:
+        s_t = jnp.asarray(s_gt, dtype)
+        c_t = jnp.asarray(c_gt, dtype)
+        active = jnp.asarray(True)
+    else:
+        s_t, c_t = s_pred, c_pred
+
+    # ---- FK + SBP residues (ref :451-460) -------------------------------------
+    pq_g, pq_g_jf = kin.fk_our_state(skel, s_t, return_joint_frame=True)
+    corr = sbp_ops.root_correction_from_constrs(
+        b.prev_pq, pq_g, c_t, n_sbps=n_sbps, use_n_sbps=min(5, n_sbps),
+        dt=bcfg.dt)
+    # terrain, not SBP z, corrects root height (ref :462)
+    vel_res = corr.vel_res.at[2].set(0.0)
+    c_locs = corr.c_locs - vel_res[None, :] * bcfg.dt
+
+    # ---- establishing ticks + terrain updates (ref :465-480) ------------------
+    ticks = _update_ticks(carry.ticks, c_locs, carry.c_locs_prev)
+
+    terrain = carry.terrain
+    z_corr = jnp.asarray(0.0, dtype)
+    tick_arm = []
+    for slot, sbp_idx in ((0, 0), (1, 1)):             # lankle, rankle
+        prev_loc = carry.c_locs_prev[sbp_idx]
+        prev_active = jnp.linalg.norm(prev_loc) < 100.0
+        tick = ticks[slot]
+        do_update = prev_active & (tick == 0)
+        arm = prev_active & (tick < 0)                  # start establishing
+        terrain, d = terrain_lib.update_height_map(
+            terrain, cfg.terrain, prev_loc, do_update)
+        z_corr = z_corr - d * cfg.terrain.height_correction_force
+        tick_arm.append((slot, arm, do_update))
+
+    if cfg.multi_sbp:
+        # pelvis feeds terrain when far from the feet (ref :475-480)
+        dist = jnp.linalg.norm(
+            pq_g[0, :2] - (pq_g[3, :2] + pq_g[6, :2]) / 2.0)
+        prev_loc = carry.c_locs_prev[4]
+        prev_active = (jnp.linalg.norm(prev_loc) < 100.0) \
+            & (dist > cfg.terrain.pelvis_terrain_thres)
+        tick = ticks[2]
+        do_update = prev_active & (tick == 0)
+        arm = prev_active & (tick < 0)
+        terrain, _ = terrain_lib.update_height_map(
+            terrain, cfg.terrain, prev_loc, do_update)
+        tick_arm.append((2, arm, do_update))
+
+    for slot, arm, done in tick_arm:
+        ticks = ticks.at[slot].set(
+            jnp.where(done, -1,
+                      jnp.where(arm, cfg.terrain.establish_ticks,
+                                ticks[slot])))
+
+    vel_res = vel_res.at[2].add(z_corr)
+
+    # ---- IK feedback into history (ref :483-495) -------------------------------
+    s_hist = s_t
+    ik_deltas = carry.ik_deltas
+    if cfg.multi_sbp:
+        s_hist, ik_deltas = _ik_history_feedback(
+            cfg, s_hist, pq_g_jf, corr.raw_residues, ik_deltas, 0, bcfg.dt)
+        s_hist, ik_deltas = _ik_history_feedback(
+            cfg, s_hist, pq_g_jf, corr.raw_residues, ik_deltas, 1, bcfg.dt)
+
+    # ---- apply root correction (ref :489-494; playback skips it) ---------------
+    if not cfg.playback_gt:
+        s_t = s_t.at[:3].add(-vel_res * bcfg.dt)
+        s_hist = s_hist.at[:3].add(-vel_res * bcfg.dt)
+        pq_g = pq_g.at[:, :3].add(-vel_res[None, :] * bcfg.dt)
+
+    # ---- history push + carry ---------------------------------------------------
+    hist = state_to_history(s_hist, c_t, n_sbps)
+    s_and_c_win = jnp.where(
+        active, _push_left_aligned(b.s_and_c_win, k_new, hist, W),
+        b.s_and_c_win)
+
+    out_qdq = jnp.where(active, s_t, b.s_init)
+    out_viz = jnp.where(active, c_locs, jnp.full((n_sbps, 3), 100.0, dtype))
+    out_ct = jnp.where(active, c_t, jnp.zeros_like(c_t))
+
+    new_base = RunnerCarry(
+        t=b.t + 1, raw_imu=raw, k=k_new, imu_win=imu_win,
+        accsum_win=accsum_win, acc_runsum=acc_runsum,
+        s_and_c_win=s_and_c_win, out_buf=out_buf, n_out=n_out,
+        last_s=jnp.where(active & (not cfg.playback_gt), s_pred, b.last_s),
+        prev_pq=jnp.where(active, pq_g, b.prev_pq),
+        prev_root=jnp.where(active, s_t[:3], b.prev_root),
+        c_locs=jnp.where(active, c_locs, b.c_locs),
+        s_init=b.s_init,
+    )
+    new_carry = FullCarry(
+        base=new_base,
+        terrain=jax.tree_util.tree_map(
+            lambda n, o: jnp.where(active, n, o), terrain, carry.terrain),
+        ticks=jnp.where(active, ticks, carry.ticks),
+        ik_deltas=jnp.where(active, ik_deltas, carry.ik_deltas),
+        c_locs_prev=jnp.where(active, c_locs, carry.c_locs_prev),
+    )
+    return new_carry, {"qdq": out_qdq, "viz_locs": out_viz, "ct": out_ct}
+
+
+def run_offline_full(params, cfg: FullRunnerConfig, skel: kin.Skeleton,
+                     s_init, imu_seq, s_gt=None, c_gt=None):
+    """lax.scan driver for the full runner (offline eval / GT playback)."""
+    s_init = jnp.asarray(s_init)
+    carry = full_runner_init(cfg, skel, s_init, dtype=s_init.dtype)
+
+    if cfg.playback_gt:
+        def sstep(c, xs):
+            imu_t, s_t, c_t = xs
+            c, out = full_runner_step(params, c, imu_t, cfg, skel,
+                                      s_gt=s_t, c_gt=c_t)
+            return c, (out["qdq"], out["ct"], out["viz_locs"])
+        xs = (imu_seq[:-1], s_gt[:-1], c_gt[:-1])
+    else:
+        def sstep(c, imu_t):
+            c, out = full_runner_step(params, c, imu_t, cfg, skel)
+            return c, (out["qdq"], out["ct"], out["viz_locs"])
+        xs = imu_seq[:-1]
+
+    final, (s_traj, c_traj, viz) = jax.lax.scan(sstep, carry, xs)
+    s_traj = jnp.concatenate([s_init[None].astype(s_traj.dtype), s_traj])
+    c_traj = jnp.concatenate([jnp.zeros_like(c_traj[:1]), c_traj])
+    viz = jnp.concatenate([jnp.full_like(viz[:1], 100.0), viz])
+    return s_traj, c_traj, viz, final

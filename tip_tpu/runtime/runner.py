@@ -135,10 +135,17 @@ def _push_left_aligned(win, k, x, window: int):
     return jnp.where(k < window, grown, shifted)
 
 
-def runner_step(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
-                skel: kin.Skeleton,
-                rng: Optional[jax.Array] = None):
-    """One 60 Hz frame. Returns (carry', dict(qdq, viz_locs, ct))."""
+class SensedFrame(tuple):
+    """(raw, k_new, imu_win, accsum_win, acc_runsum, out_buf, n_out, active,
+    s_t, c_t) — output of the shared sensing/prediction front-end."""
+    __slots__ = ()
+
+
+def sense_and_predict(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
+                      rng: Optional[jax.Array] = None):
+    """Stages 1-5 shared by the minimal and full runners: raw-ring smoothing,
+    local features + acc-sum, model forward, output filter, state assembly.
+    Returns (buffer updates…, active flag, assembled s_t, SBP vector c_t)."""
     dtype = carry.imu_win.dtype
     cur_imu = jnp.asarray(cur_imu, dtype)
     n_sbps = cfg.n_sbps
@@ -209,6 +216,21 @@ def runner_step(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
     has_last = carry.n_out >= 1                        # last_s was a real frame
     blended = s_t.at[6:].set((s_t[6:] + carry.last_s[6:]) / 2.0)
     s_t = jnp.where(has_last, blended, s_t)
+
+    return SensedFrame((raw, k_new, imu_win, accsum_win, acc_runsum,
+                        out_buf, n_out, active, s_t, c_t))
+
+
+def runner_step(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
+                skel: kin.Skeleton,
+                rng: Optional[jax.Array] = None):
+    """One 60 Hz frame of the minimal runner (flat-ground assumption).
+    Returns (carry', dict(qdq, viz_locs, ct))."""
+    dtype = carry.imu_win.dtype
+    n_sbps = cfg.n_sbps
+    W = cfg.window
+    (raw, k_new, imu_win, accsum_win, acc_runsum, out_buf, n_out, active,
+     s_t, c_t) = sense_and_predict(params, carry, cur_imu, cfg, rng)
 
     # ---- 6. FK + SBP root correction (ref :169-194) ---------------------------
     pq_g, pq_g_jf = kin.fk_our_state(skel, s_t, return_joint_frame=True)
