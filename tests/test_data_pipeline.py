@@ -1,0 +1,169 @@
+"""End-to-end data pipeline: synthesis -> packing -> training -> evaluation."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tip_tpu import constants as cst
+from tip_tpu import eval_harness as H
+from tip_tpu.data_gen import amass_syn, combine as combine_lib, smpl
+from tip_tpu.models import tip_model as M
+from tip_tpu.ops import kinematics as kin
+from tip_tpu.runtime import runner as runner_lib
+from tip_tpu.train import data as data_lib
+from tip_tpu.train import train as train_lib
+
+RNG = np.random.default_rng(21)
+
+
+def make_synthetic_motion(T=260, fps=120.0, moving=True) -> smpl.SmplMotion:
+    """Smooth random SMPL motion around a standing pose."""
+    t = np.arange(T) / fps
+    poses = np.zeros((T, 24, 3))
+    poses[:, 0] = [1.20919958, 1.20919958, 1.20919958]   # upright, z-up
+    # swing a few joints smoothly
+    for j, amp, f in ((1, 0.3, 0.7), (2, 0.3, 0.7), (16, 0.4, 0.5),
+                      (17, 0.4, 0.6), (4, 0.25, 0.9), (5, 0.25, 0.8)):
+        poses[:, j, 0] = amp * np.sin(2 * np.pi * f * t)
+        poses[:, j, 2] = 0.3 * amp * np.cos(2 * np.pi * f * t)
+    trans = np.zeros((T, 3))
+    trans[:, 2] = 0.95
+    if moving:
+        trans[:, 0] = 0.4 * t
+    return smpl.SmplMotion(poses=poses, trans=trans, fps=fps)
+
+
+def test_synthesize_shapes_and_validity():
+    motion = make_synthetic_motion()
+    out = amass_syn.synthesize(motion, height=1.7,
+                               rng=np.random.default_rng(0))
+    T = len(out["imu"])
+    assert out["imu"].shape == (T, 72)
+    assert out["nimble_qdq"].shape == (T, 114)
+    assert out["constrs"].shape == (T, 20)
+    assert np.isfinite(out["imu"]).all()
+
+    # orientations are valid rotations
+    Rm = out["imu"][:, :54].reshape(T, 6, 3, 3)
+    eye = np.einsum("tnij,tnkj->tnik", Rm, Rm)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape),
+                               atol=1e-5)
+
+    # root velocity label matches the translation derivative (x: 0.4 m/s
+    # scaled by h/1.6 only in the IMU, not qdq)
+    v = out["nimble_qdq"][10:-10, 57]
+    np.testing.assert_allclose(v, 0.4, atol=1e-6)
+
+
+def test_synthesize_static_motion_properties():
+    motion = make_synthetic_motion(moving=False)
+    # freeze the whole body -> feet SBPs active almost everywhere
+    motion.poses[:] = motion.poses[0]
+    motion.poses[:, 1:] = 0.0
+    out = amass_syn.synthesize(motion, height=1.7,
+                               rng=np.random.default_rng(0))
+    c = out["constrs"]
+    assert c[5:-5, 0].mean() > 0.9        # lankle flag
+    assert c[5:-5, 4].mean() > 0.9        # rankle flag
+    # static motion: accelerations ~ 0
+    assert np.abs(out["imu"][5:-5, 54:]).max() < 1e-4
+
+
+def test_qdq_roundtrip_through_fk():
+    """qdq -> bullet pose -> FK must land the IMU links where the synthesis
+    placed them (same skeleton, scale 1.0 path)."""
+    motion = make_synthetic_motion()
+    aa60, trans60, _ = smpl.resample_motion(motion)
+    qdq = amass_syn.nimble_qdq(aa60, trans60)
+    fk_pts = amass_syn.fk_motion(aa60, trans60, height=1.6)   # scale 1.0
+    skel = kin.amass_skeleton(dtype=jnp.float64)
+    pq = np.asarray(jax.vmap(lambda s: kin.fk_our_state(skel, s))(
+        jnp.asarray(qdq)))
+    # lknee IMU point (sensor 3) == FK CoM of link 1
+    np.testing.assert_allclose(np.asarray(fk_pts["pq_imu"])[:, 3, :3],
+                               pq[:, 2, :3], atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def pipeline_dir(tmp_path_factory):
+    """Synthesize 3 motions, pack them, return the blob prefix + pkl dir."""
+    root = tmp_path_factory.mktemp("pipeline")
+    pkl_dir = root / "syn_TEST_v1"
+    pkl_dir.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(3):
+        # >= 2.5 s at 60 Hz after resampling (the harness drops shorter clips)
+        motion = make_synthetic_motion(T=340 + 40 * i)
+        out = amass_syn.synthesize(motion, rng=rng)
+        with open(pkl_dir / f"motion_{i}.pkl", "wb") as f:
+            pickle.dump(out, f)
+    prefix = str(root / "train_test")
+    combine_lib.combine([str(pkl_dir)], [1], prefix, seed=0)
+    return prefix, str(pkl_dir)
+
+
+def test_combine_blob_format(pipeline_dir):
+    prefix, _ = pipeline_dir
+    ds = data_lib.PackedDataset.load(prefix + "_imu.npy", prefix + "_s.npy",
+                                     prefix + "_info.npy")
+    assert ds.imu.shape[1] == 72
+    assert ds.acc_sum.shape[1] == 18
+    assert ds.s.shape[1] == 131
+    assert ds.info.shape == (3, 3)
+    assert ds.info[-1, 1] == len(ds.imu)
+    # local features: root rotation block untouched by localisation
+    assert np.isfinite(ds.imu[:]).all()
+
+
+def test_train_on_synthesized_data(pipeline_dir):
+    prefix, _ = pipeline_dir
+    ds = data_lib.PackedDataset.load(prefix + "_imu.npy", prefix + "_s.npy",
+                                     prefix + "_info.npy")
+    tiny = M.ModelConfig(tf_in_dim=32, tf_hid_size=64, n_heads=4, tf_layers=2,
+                         rnn_hid_size=24)
+    cfg = train_lib.TrainConfig(model=tiny, batch_size=16, seq_len=20,
+                                lr=1e-3, epochs=1, log_interval=1000)
+    state = train_lib.init_state(cfg)
+    step = train_lib.make_train_step(cfg)
+    rng = np.random.default_rng(0)
+    losses = []
+    for _ in range(3):
+        for x_imu, x_s, y in data_lib.epoch_batches(ds, cfg.seq_len,
+                                                    cfg.batch_size, rng):
+            state, aux = step(state, jnp.asarray(x_imu), jnp.asarray(x_s),
+                              jnp.asarray(y))
+            losses.append(float(aux["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_eval_harness_end_to_end(pipeline_dir):
+    _, pkl_dir = pipeline_dir
+    tiny = M.ModelConfig(tf_in_dim=32, tf_hid_size=64, n_heads=4, tf_layers=2,
+                         rnn_hid_size=24)
+    params = M.init_params(jax.random.PRNGKey(0), tiny)
+    cfg = H.EvalConfig(runner=runner_lib.RunnerConfig(model=tiny),
+                       test_len=200, max_motions_per_cat=2)
+    files = [os.path.join(pkl_dir, f) for f in sorted(os.listdir(pkl_dir))]
+    per_motion, means, maxima = H.evaluate(params, cfg, files,
+                                           log=lambda *a: None)
+    assert len(per_motion) == 2
+    for k in H.METRIC_NAMES:
+        assert np.isfinite(means[k]), (k, means)
+
+
+def test_metrics_zero_for_perfect_prediction(pipeline_dir):
+    _, pkl_dir = pipeline_dir
+    with open(os.path.join(pkl_dir, "motion_0.pkl"), "rb") as f:
+        payload = pickle.load(f)
+    qdq = payload["nimble_qdq"][:150]
+    skel = kin.amass_skeleton()
+    m = H.compute_metrics(skel, qdq, qdq.copy(), H.EvalConfig())
+    assert m["angle_deg"] < 1e-3
+    assert m["j_pos_cm"] < 1e-3
+    assert m["root_drift_5s"] < 1e-5

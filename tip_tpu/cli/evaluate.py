@@ -1,0 +1,72 @@
+"""CLI: offline evaluation (reference offline_testing_simple.py + README step 5).
+
+  python -m tip_tpu.cli.evaluate --ckpt output/model-v1 \
+      --name_contains "dipimu_s_09 dipimu_s_10" --test_len 30000 \
+      --with_acc_sum --five_sbp [--full_runner] [--data_root data]
+"""
+
+import argparse
+import json
+
+
+# reference test-data directory list (offline_testing_simple.py:307-314)
+TEST_DIRS_V0 = [
+    "syn_AMASS_CMU_v0", "syn_Eyes_Japan_Dataset_v0", "syn_KIT_v0",
+    "syn_HUMAN4D_v0", "syn_ACCAD_v0", "syn_DFaust_67_v0", "syn_HumanEva_v0",
+    "syn_MPI_Limits_v0", "syn_MPI_mosh_v0", "syn_SFU_v0",
+    "syn_Transitions_mocap_v0", "preprocessed_DIP_IMU_v0",
+    "preprocessed_TotalCapture_v0", "syn_TotalCapture_v0", "syn_DanceDB_v0",
+]
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ckpt", required=True,
+                    help="orbax checkpoint dir (or .pt torch state_dict)")
+    ap.add_argument("--name_contains", default="")
+    ap.add_argument("--data_root", default="data")
+    ap.add_argument("--tag", default="v0")
+    ap.add_argument("--test_len", type=int, default=600)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--five_sbp", action="store_true")
+    ap.add_argument("--with_acc_sum", action="store_true")
+    ap.add_argument("--full_runner", action="store_true")
+    args = ap.parse_args()
+
+    from tip_tpu import constants as cst
+    from tip_tpu import eval_harness as H
+    from tip_tpu.models import tip_model as M
+    from tip_tpu.runtime import runner as runner_lib
+    from tip_tpu.train import train as train_lib
+
+    n_sbps = 5 if args.five_sbp else 2
+    model_cfg = M.ModelConfig(size_s=cst.state_dim(n_sbps),
+                              with_acc_sum=args.with_acc_sum)
+
+    if args.ckpt.endswith(".pt"):
+        import torch
+        sd = torch.load(args.ckpt, map_location="cpu")
+        params = M.params_from_torch_state_dict(sd, model_cfg)
+    else:
+        cfg_t = train_lib.TrainConfig(model=model_cfg, n_sbps=n_sbps)
+        params = train_lib.restore_checkpoint(args.ckpt, cfg_t).params
+
+    cfg = H.EvalConfig(
+        runner=runner_lib.RunnerConfig(model=model_cfg, n_sbps=n_sbps,
+                                       with_acc_sum=args.with_acc_sum),
+        use_full_runner=args.full_runner,
+        test_len=args.test_len, seed=args.seed)
+
+    dirs = [d.replace("v0", args.tag) for d in TEST_DIRS_V0]
+    files = H.collect_test_files(args.data_root, dirs,
+                                 args.name_contains.split())
+    print(f"{len(files)} candidate motions")
+    per_motion, means, maxima = H.evaluate(params, cfg, files)
+
+    print(json.dumps({"means": means}, indent=2))
+    for k, (v, f) in maxima.items():
+        print(f"max {k}: {v:.4f}  ({f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Offline evaluation harness — the de-facto integration test of the system.
+
+Equivalent of the reference's offline_testing_simple.py:78-461: stream
+recorded IMU pickles through the runner, trim the algorithmic latency,
+FK both trajectories, and report the 7-metric suite (means + worst offender
+per metric).
+
+TPU-native differences: the per-frame Python loop becomes one jitted
+lax.scan per motion (runtime.runner.run_offline), and the FK of whole
+trajectories is one vmapped call instead of 2 x T PyBullet round trips.
+"""
+
+import dataclasses
+import os
+import pickle
+import random
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tip_tpu import constants as cst
+from tip_tpu.ops import kinematics as kin
+from tip_tpu.ops import metrics as metrics_lib
+from tip_tpu.runtime import runner as runner_lib
+from tip_tpu.runtime import full_runner as full_runner_lib
+from tip_tpu.runtime import terrain as terrain_lib
+
+METRIC_NAMES = ("angle_deg", "j_pos_cm", "root_drift_2s", "root_drift_5s",
+                "root_drift_10s", "jerk", "root_jerk")
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    runner: runner_lib.RunnerConfig = runner_lib.RunnerConfig()
+    use_full_runner: bool = False       # terrain-aware RTRunner equivalent
+    test_len: int = 30000
+    max_motions_per_cat: int = 50       # reference MAX_TEST_MOTION_PRE_CAT
+    seed: int = 42
+    crop_head: int = 30                 # first 0.5 s uninteresting (ref :437)
+    crop_tail: int = 6
+    root_z_lift: float = 0.05           # amass floor calibration (ref :387)
+
+
+def collect_test_files(data_root: str, dirs: Sequence[str],
+                       name_contains: Sequence[str]) -> List[str]:
+    """Regex-select test pickles (reference :283-300)."""
+    out = []
+    for d in dirs:
+        full = os.path.join(data_root, d)
+        if not os.path.isdir(full):
+            continue
+        for n in sorted(os.listdir(full)):
+            if not n.endswith("pkl"):
+                continue
+            p = os.path.join(full, n)
+            if any(re.search(nc, p, re.IGNORECASE) for nc in name_contains):
+                out.append(p)
+    return out
+
+
+def run_motion(params, cfg: EvalConfig, skel: kin.Skeleton,
+               imu: np.ndarray, s_gt: np.ndarray):
+    """Stream one motion; returns latency-trimmed predicted trajectory."""
+    if cfg.use_full_runner:
+        fcfg = full_runner_lib.FullRunnerConfig(
+            base=cfg.runner,
+            terrain=terrain_lib.TerrainConfig(map_bound=cst.MAP_BOUND * 2.0))
+        s_traj, c_traj, viz, _ = full_runner_lib.run_offline_full(
+            params, fcfg, skel, jnp.asarray(s_gt[0], jnp.float32),
+            jnp.asarray(imu, jnp.float32))
+    else:
+        s_traj, c_traj, viz = runner_lib.run_offline(
+            params, cfg.runner, skel, jnp.asarray(s_gt[0], jnp.float32),
+            jnp.asarray(imu, jnp.float32))
+    trim = cfg.runner.imu_n_smooth + 2
+    return runner_lib.trim_latency(s_traj, trim)
+
+
+@jax.jit
+def _fk_traj(skel: kin.Skeleton, poses_bullet):
+    return jax.vmap(lambda s: kin.fk_bullet_state(skel, s))(poses_bullet)
+
+
+def compute_metrics(skel: kin.Skeleton, gt_qdq: np.ndarray,
+                    pred_qdq: np.ndarray, cfg: EvalConfig) -> Dict[str, float]:
+    """FK both trajectories and evaluate the 7 metrics (reference :414-445)."""
+    to_bullet = jax.jit(jax.vmap(kin.our_pose_to_bullet))
+    aa1 = np.asarray(to_bullet(jnp.asarray(gt_qdq, jnp.float32)))
+    aa2 = np.asarray(to_bullet(jnp.asarray(pred_qdq, jnp.float32)))
+    lo, hi = cfg.crop_head, len(aa1) - cfg.crop_tail
+    aa1, aa2 = aa1[lo:hi], aa2[lo:hi]
+    pq1 = _fk_traj(skel, jnp.asarray(aa1))
+    pq2 = _fk_traj(skel, jnp.asarray(aa2))
+    args = (jnp.asarray(aa1), jnp.asarray(aa2), pq1, pq2)
+    return {
+        "angle_deg": float(metrics_lib.loss_angle(*args)),
+        "j_pos_cm": float(metrics_lib.loss_j_pos(*args)),
+        "root_drift_2s": float(metrics_lib.loss_root_dist_pos(*args, t=2.0)),
+        "root_drift_5s": float(metrics_lib.loss_root_dist_pos(*args, t=5.0)),
+        "root_drift_10s": float(metrics_lib.loss_root_dist_pos(*args, t=10.0)),
+        "jerk": float(metrics_lib.loss_max_jerk(*args)),
+        "root_jerk": float(metrics_lib.loss_root_jerk(*args)),
+    }
+
+
+def evaluate(params, cfg: EvalConfig, test_files: Sequence[str],
+             skel: Optional[kin.Skeleton] = None, log=print):
+    """Full harness over a list of per-motion pickles. Returns
+    (per_motion list of metric dicts, means dict, maxima dict)."""
+    random.seed(cfg.seed)
+    np.random.seed(cfg.seed)
+    skel = skel or kin.amass_skeleton()
+
+    files = list(test_files)
+    if len(files) > cfg.max_motions_per_cat:
+        files = random.sample(files, cfg.max_motions_per_cat)
+
+    per_motion, used = [], []
+    for f in files:
+        if not os.path.exists(f):
+            log(f"ignored {f}")
+            continue
+        with open(f, "rb") as fh:
+            data = pickle.load(fh)
+        X, Y = np.asarray(data["imu"]), np.asarray(data["nimble_qdq"])
+        if Y.shape[0] < 2.5 / cst.DT:
+            continue
+        if Y.shape[0] > cfg.test_len:
+            start = random.randrange(0, Y.shape[0] - cfg.test_len)
+            X = X[start:start + cfg.test_len]
+            Y = Y[start:start + cfg.test_len]
+        m_len = min(len(X), len(Y))
+        X, Y = X[:m_len], Y[:m_len].copy()
+        Y[:, 2] += cfg.root_z_lift
+
+        pred = run_motion(params, cfg, skel, X, Y)
+        per_motion.append(compute_metrics(skel, Y, pred, cfg))
+        used.append(f)
+        log(f"{f}: {per_motion[-1]}")
+
+    means = {k: float(np.mean([m[k] for m in per_motion]))
+             for k in METRIC_NAMES} if per_motion else {}
+    maxima = {}
+    for k in METRIC_NAMES:
+        if not per_motion:
+            break
+        vals = [m[k] for m in per_motion]
+        i = int(np.argmax(vals))
+        maxima[k] = (float(vals[i]), used[i])
+    return per_motion, means, maxima
