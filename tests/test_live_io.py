@@ -1,0 +1,106 @@
+"""Calibration math + native bridge <-> client integration."""
+
+import os
+import subprocess
+import time
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from tip_tpu.runtime import calibration as cal
+from tip_tpu.runtime.imu_client import IMUClient, SeqlockSlot
+
+RNG = np.random.default_rng(13)
+BRIDGE = os.path.join(os.path.dirname(__file__), "..", "native", "build",
+                      "imu_bridge")
+
+
+def simulate_sensor_stack():
+    """Random heading offsets + mount transforms; returns a function mapping
+    true bone rotations/accelerations to raw sensor readings."""
+    # heading: per-sensor yaw-ish offset between sensor-global and room frames
+    r_gn_gp = Rotation.from_rotvec(
+        np.outer(RNG.uniform(-1, 1, 6), [0, 0, 1])).as_matrix()
+    # mount: arbitrary bone-to-sensor rotation
+    r_b0_s0 = Rotation.from_rotvec(RNG.normal(size=(6, 3))).as_matrix()
+    gravity_gp = np.tile([0, 0, 9.81], (6, 1))
+
+    def reading(r_gp_bt, acc_free_gp):
+        r_gp_st = np.einsum("nij,njk->nik", r_gp_bt, r_b0_s0)
+        r_gn_st = np.einsum("nij,njk->nik", r_gn_gp, r_gp_st)
+        acc_gp = acc_free_gp + gravity_gp
+        acc_st = np.einsum("nji,nj->ni", r_gp_st, acc_gp)   # into sensor frame
+        return np.concatenate([r_gn_st.reshape(-1), acc_st.reshape(-1)])
+
+    return reading, r_b0_s0
+
+
+def test_calibration_recovers_bone_frames():
+    reading, r_b0_s0_true = simulate_sensor_stack()
+
+    # stage 1: sensors aligned with the room (R_Gp_St = I, i.e. the bones sit
+    # at R_B0_S0^T) and at rest
+    mean_aligned = reading(np.transpose(r_b0_s0_true, (0, 2, 1)),
+                           np.zeros((6, 3)))
+
+    # stage 2: T pose
+    r_gp_b0 = cal.aligned_t_pose_bone_rotations()
+    mean_tpose = reading(r_gp_b0, np.zeros((6, 3)))
+
+    c = cal.calibrate(mean_aligned, mean_tpose)
+    np.testing.assert_allclose(c.r_b0_s0, r_b0_s0_true, atol=1e-10)
+
+    # streaming: arbitrary pose + known free acceleration recovered
+    r_true = Rotation.from_rotvec(RNG.normal(size=(6, 3)) * 0.8).as_matrix()
+    acc_free = RNG.normal(size=(6, 3)) * 2.0
+    out = cal.transform_reading(c, reading(r_true, acc_free))
+    np.testing.assert_allclose(out[:54].reshape(6, 3, 3), r_true, atol=1e-10)
+    np.testing.assert_allclose(out[54:].reshape(6, 3), acc_free, atol=1e-10)
+
+
+def test_seqlock_slot():
+    s = SeqlockSlot(4)
+    assert s.read() is None
+    s.write(np.arange(4.0))
+    np.testing.assert_array_equal(s.read(), np.arange(4.0))
+    s.write(np.arange(4.0) + 1)
+    np.testing.assert_array_equal(s.read(), np.arange(4.0) + 1)
+
+
+@pytest.mark.skipif(not os.path.exists(BRIDGE), reason="bridge not built")
+def test_bridge_replay_roundtrip(tmp_path):
+    """Native replay server -> IMUClient: frames arrive intact."""
+    T = 30
+    q = Rotation.from_rotvec(RNG.normal(size=(T * 6, 3))).as_quat().reshape(T, 6, 4)
+    acc = RNG.normal(size=(T, 6, 3))
+    frames = np.concatenate([q, acc], axis=2).astype(np.float32)  # (T, 6, 7)
+    path = tmp_path / "frames.f32"
+    frames.tofile(path)
+
+    port = 27113
+    proc = subprocess.Popen([BRIDGE, "--replay", str(path), "--port",
+                             str(port), "--hz", "240"],
+                            stderr=subprocess.DEVNULL)
+    try:
+        time.sleep(0.3)
+        client = IMUClient(port=port)
+        client.start()
+        t_end = time.time() + 3.0
+        while client.frames_received < 5 and time.time() < t_end:
+            time.sleep(0.05)
+        reading = client.current_reading()
+        client.stop()
+        assert client.frames_received >= 5
+        assert reading is not None and reading.shape == (72,)
+        # reading matches SOME replayed frame (ori block)
+        got_r = reading[:54].reshape(6, 3, 3)
+        match = False
+        for t in range(T):
+            ref_r = Rotation.from_quat(frames[t, :, :4]).as_matrix()
+            if np.abs(got_r - ref_r).max() < 1e-5:
+                match = True
+                break
+        assert match
+    finally:
+        proc.kill()

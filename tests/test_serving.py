@@ -1,0 +1,79 @@
+"""Multi-stream serving pool + observability utilities."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tip_tpu.models import tip_model as M
+from tip_tpu.ops import kinematics as kin
+from tip_tpu.runtime import runner as R
+from tip_tpu.runtime.serving import StreamPool
+from tip_tpu.utils.observability import LatencyHistogram, MetricsWriter
+
+import test_runner as TR
+
+
+def test_stream_pool_add_remove_and_isolation():
+    params = M.init_params(jax.random.PRNGKey(0), TR.SMALL_MODEL,
+                           dtype=jnp.float64)
+    skel = kin.amass_skeleton(dtype=jnp.float64)
+    pool = StreamPool(params, TR.CFG, skel, capacity=4, dtype=jnp.float64)
+
+    s_init = TR.make_s_init()
+    a = pool.add_stream(s_init)
+    b = pool.add_stream(s_init)
+    assert (a, b) == (0, 1) and pool.n_active == 2
+
+    T = 12
+    stream_a = TR.make_stream(T)
+    stream_b = TR.make_stream(T)
+    batch = np.zeros((4, T, 72))
+    batch[a] = stream_a
+    batch[b] = stream_b
+
+    outs = [pool.step(batch[:, t]) for t in range(T)]
+    pooled_a = np.stack([np.asarray(o["qdq"][a]) for o in outs])
+    pooled_b = np.stack([np.asarray(o["qdq"][b]) for o in outs])
+
+    # slot isolation: each stream matches its own single-stream run
+    for stream, pooled in ((stream_a, pooled_a), (stream_b, pooled_b)):
+        s_traj, _, _ = R.run_offline(params, TR.CFG, skel,
+                                     jnp.asarray(s_init), jnp.asarray(stream))
+        np.testing.assert_allclose(pooled[:T - 1], np.asarray(s_traj)[1:T],
+                                   atol=1e-7)
+
+    # remove + re-add resets the slot
+    pool.remove_stream(a)
+    assert pool.n_active == 1
+    c = pool.add_stream(s_init)
+    assert c == a
+    out = pool.step(batch[:, 0])
+    np.testing.assert_allclose(np.asarray(out["qdq"][c]), s_init, atol=1e-9)
+
+    pool.add_stream(s_init)
+    pool.add_stream(s_init)
+    try:
+        pool.add_stream(s_init)
+        assert False, "expected full pool"
+    except RuntimeError:
+        pass
+
+
+def test_latency_histogram_and_metrics_writer(tmp_path):
+    h = LatencyHistogram(capacity=128)
+    for v in np.linspace(1e-3, 10e-3, 100):
+        h.record(v)
+    s = h.summary()
+    assert s["count"] == 100
+    assert 5.0 < s["p50_ms"] < 6.0
+    assert s["p99_ms"] <= s["max_ms"] <= 10.01
+
+    mpath = tmp_path / "m.jsonl"
+    w = MetricsWriter(str(mpath))
+    w.write(step=1, loss=0.5)
+    w.write(step=2, loss=0.25)
+    w.close()
+    import json
+    lines = [json.loads(x) for x in open(mpath)]
+    assert lines[0]["step"] == 1 and lines[1]["loss"] == 0.25

@@ -1,0 +1,71 @@
+"""Batched multi-stream serving: hundreds of IMU streams on one chip.
+
+New capability vs the reference (single stream per process, SURVEY.md §2.8):
+the runner carry is a fixed pytree, so a pool of streams is just a
+stacked carry with a per-slot active mask — one vmapped, jitted step serves
+the whole pool per tick; stream add/remove only touches one slot on the host.
+"""
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tip_tpu import constants as cst
+from tip_tpu.ops import kinematics as kin
+from tip_tpu.runtime import runner as runner_lib
+
+
+class StreamPool:
+    """Fixed-capacity pool of independent streaming sessions."""
+
+    def __init__(self, params, cfg: runner_lib.RunnerConfig,
+                 skel: Optional[kin.Skeleton] = None, capacity: int = 64,
+                 dtype=jnp.float32):
+        self.cfg = cfg
+        self.capacity = capacity
+        self.params = params
+        self.skel = skel or kin.amass_skeleton(dtype=dtype)
+        self._dtype = dtype
+
+        zero_init = jnp.zeros(2 * cst.N_DOFS, dtype)
+        single = runner_lib.runner_init(cfg, self.skel, zero_init, dtype)
+        self._carries = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (capacity,) + x.shape).copy(), single)
+        self.active = np.zeros(capacity, bool)
+
+        def one(params, carry, imu_t):
+            return runner_lib.runner_step(params, carry, imu_t, cfg, self.skel)
+
+        self._step = jax.jit(jax.vmap(one, in_axes=(None, 0, 0)))
+        self._slot_init = jax.jit(
+            lambda s: runner_lib.runner_init(cfg, self.skel, s, dtype))
+
+    def add_stream(self, s_init: np.ndarray) -> int:
+        """Returns the slot id; raises if the pool is full."""
+        free = np.flatnonzero(~self.active)
+        if len(free) == 0:
+            raise RuntimeError("stream pool full")
+        slot = int(free[0])
+        fresh = self._slot_init(jnp.asarray(s_init, self._dtype))
+        self._carries = jax.tree_util.tree_map(
+            lambda pool, x: pool.at[slot].set(x), self._carries, fresh)
+        self.active[slot] = True
+        return slot
+
+    def remove_stream(self, slot: int):
+        self.active[slot] = False
+
+    @property
+    def n_active(self) -> int:
+        return int(self.active.sum())
+
+    def step(self, imu_batch: np.ndarray) -> Dict[str, np.ndarray]:
+        """One 60 Hz tick for every slot. imu_batch: (capacity, 72); rows of
+        inactive slots are ignored (computed but discarded)."""
+        self._carries, out = self._step(
+            self.params, self._carries,
+            jnp.asarray(imu_batch, self._dtype))
+        return out
