@@ -26,7 +26,8 @@ def main():
     from tip_tpu.ops import kinematics as kin
     from tip_tpu.runtime import runner as R
 
-    cfg = R.RunnerConfig()                      # flagship model config
+    # flagship model config; fused Pallas RNN head (see ops/pallas_kernels.py)
+    cfg = R.RunnerConfig(model=M.ModelConfig(rnn_impl="pallas"))
     params = M.init_params(jax.random.PRNGKey(0), cfg.model)
     skel = kin.amass_skeleton()
 

@@ -49,6 +49,7 @@ class ModelConfig:
     past_dropout: float = 0.8
     layer_dropout: float = 0.1        # torch TransformerEncoderLayer default
     rnn_dropout: float = 0.0          # single-layer RNN: unused, kept for parity
+    rnn_impl: str = "scan"            # "scan" (lax.scan) | "pallas" (fused VMEM kernel)
 
     @property
     def input_dim(self) -> int:
@@ -211,15 +212,20 @@ def forward(params, x_imu, x_s, cfg: ModelConfig, *,
 
     if cfg.with_rnn:
         rnn = params["rnn"]
-        xin = x @ rnn["w_ih"] + rnn["b_ih"]                # hoist input matmul
+        # hoist the input matmul; fold both biases into the pre-activation
+        xin = x @ rnn["w_ih"] + rnn["b_ih"] + rnn["b_hh"]
 
-        def cell(h, x_t):
-            h = jnp.tanh(x_t + h @ rnn["w_hh"] + rnn["b_hh"])
-            return h, h
+        if cfg.rnn_impl == "pallas":
+            from tip_tpu.ops.pallas_kernels import fused_rnn
+            x = fused_rnn(xin, rnn["w_hh"])
+        else:
+            def cell(h, x_t):
+                h = jnp.tanh(x_t + h @ rnn["w_hh"])
+                return h, h
 
-        h0 = jnp.zeros((B, cfg.rnn_hid_size), x.dtype)     # zeroed every call
-        _, hs = jax.lax.scan(cell, h0, xin.transpose(1, 0, 2))
-        x = hs.transpose(1, 0, 2)
+            h0 = jnp.zeros((B, cfg.rnn_hid_size), x.dtype)  # zeroed every call
+            _, hs = jax.lax.scan(cell, h0, xin.transpose(1, 0, 2))
+            x = hs.transpose(1, 0, 2)
 
     return x @ params["out"]["w"] + params["out"]["b"]
 
