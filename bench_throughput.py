@@ -19,8 +19,6 @@ def main():
     from tip_tpu.ops import kinematics as kin
     from tip_tpu.runtime import runner as R
 
-    cfg = R.RunnerConfig()
-    params = M.init_params(jax.random.PRNGKey(0), cfg.model)
     skel = kin.amass_skeleton()
 
     s_init = np.zeros(114, np.float32)
@@ -39,7 +37,12 @@ def main():
                                       rng.normal(size=18) * 0.5]))
     stream = np.stack(frames).astype(np.float32)
 
-    for B in (64, 256, 512):
+    # batched serving uses the lax.scan RNN (the Pallas kernel wins on
+    # single-stream latency but serialises under vmap); bf16 compute adds ~8%
+    configs = [(64, None), (256, None), (512, None), (256, "bfloat16")]
+    for B, compute_dtype in configs:
+        cfg = R.RunnerConfig(model=M.ModelConfig(compute_dtype=compute_dtype))
+        params = M.init_params(jax.random.PRNGKey(0), cfg.model)
         streams = jnp.asarray(np.broadcast_to(stream, (B, T, 72))
                               .transpose(1, 0, 2).copy())    # (T, B, 72)
 
@@ -68,6 +71,7 @@ def main():
         print(json.dumps({
             "metric": "batched_throughput",
             "batch": B,
+            "compute_dtype": compute_dtype or "float32",
             "value": round(fps, 0),
             "unit": "frames/s/chip",
             "vs_target_10k": round(fps / 1e4, 2),

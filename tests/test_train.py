@@ -63,7 +63,7 @@ def test_sharded_step_matches_single_device():
     bsh = mesh_lib.batch_sharding(mesh)
     xs = tuple(jax.device_put(a, bsh) for a in (x_imu, x_s, y))
 
-    # fresh copy: the train step donates its input state's buffers
+    # fresh params for the grad comparison below
     params = train_lib.init_state(CFG).params
     state_a, aux_a = step_a(state_a, x_imu, x_s, y)
     state_b, aux_b = step_b(state_b, *xs)

@@ -50,6 +50,7 @@ class ModelConfig:
     layer_dropout: float = 0.1        # torch TransformerEncoderLayer default
     rnn_dropout: float = 0.0          # single-layer RNN: unused, kept for parity
     rnn_impl: str = "scan"            # "scan" (lax.scan) | "pallas" (fused VMEM kernel)
+    compute_dtype: Optional[str] = None   # e.g. "bfloat16"; None = input dtype
 
     @property
     def input_dim(self) -> int:
@@ -179,6 +180,12 @@ def forward(params, x_imu, x_s, cfg: ModelConfig, *,
       (B, T, size_s) next-state predictions at every window position.
     """
     B, T, _ = x_imu.shape
+    out_dtype = x_imu.dtype
+    if cfg.compute_dtype is not None:
+        cd = jnp.dtype(cfg.compute_dtype)
+        params = jax.tree_util.tree_map(lambda p: p.astype(cd), params)
+        x_imu = x_imu.astype(cd)
+        x_s = x_s.astype(cd)
     if rng is None:
         keys = [None] * (2 + 4 * cfg.tf_layers)
     else:
@@ -227,7 +234,7 @@ def forward(params, x_imu, x_s, cfg: ModelConfig, *,
             _, hs = jax.lax.scan(cell, h0, xin.transpose(1, 0, 2))
             x = hs.transpose(1, 0, 2)
 
-    return x @ params["out"]["w"] + params["out"]["b"]
+    return (x @ params["out"]["w"] + params["out"]["b"]).astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------

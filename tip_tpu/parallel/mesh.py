@@ -20,6 +20,26 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Multi-host initialisation (DCN): call once per host before any device
+    use. No-op for single-process runs; on TPU pods with the standard env
+    (TPU_WORKER_HOSTNAMES etc.) jax auto-detects everything."""
+    import jax
+
+    if num_processes is not None and num_processes <= 1:
+        return
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (ValueError, RuntimeError) as e:
+        # already initialised or single-process environment
+        if "already" not in str(e).lower():
+            raise
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()

@@ -129,7 +129,7 @@ def make_train_step(cfg: TrainConfig, mesh=None):
                           step=state.step + 1, rng=rng), aux
 
     if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,))
+        return jax.jit(step_fn)
 
     bs = mesh_lib.batch_sharding(mesh)
     rep = mesh_lib.replicated(mesh)
@@ -140,8 +140,7 @@ def make_train_step(cfg: TrainConfig, mesh=None):
         y = jax.lax.with_sharding_constraint(y, bs)
         return step_fn(state, x_imu, x_s, y)
 
-    return jax.jit(sharded_step, donate_argnums=(0,),
-                   in_shardings=(None, bs, bs, bs))
+    return jax.jit(sharded_step, in_shardings=(None, bs, bs, bs))
 
 
 def shard_state(state: TrainState, mesh) -> TrainState:
@@ -203,13 +202,27 @@ def train_loop(cfg: TrainConfig, dataset, *, mesh=None, ckpt_dir=None,
     np_rng = np.random.default_rng(cfg.seed)
 
     epochs = max_epochs if max_epochs is not None else cfg.epochs
+    bad_steps = 0
     for ep in range(1, epochs + 1):
         running = []
         for bi, (x_imu, x_s, y) in enumerate(data_lib.epoch_batches(
                 dataset, cfg.seq_len, cfg.batch_size, np_rng)):
+            prev_state = state
             state, aux = step_fn(state, jnp.asarray(x_imu),
                                  jnp.asarray(x_s), jnp.asarray(y))
-            running.append(float(aux["loss"]))
+            loss = float(aux["loss"])
+            if not np.isfinite(loss):
+                # failure detection: drop the poisoned update, keep training
+                bad_steps += 1
+                log_fn({"epoch": ep, "batch": bi + 1,
+                        "event": "non_finite_loss_skipped",
+                        "bad_steps": bad_steps})
+                state = prev_state
+                if bad_steps > 20:
+                    raise FloatingPointError(
+                        "training diverged: >20 non-finite losses")
+                continue
+            running.append(loss)
             if (bi + 1) % cfg.log_interval == 0:
                 log_fn({"epoch": ep, "batch": bi + 1,
                         "loss": float(np.mean(running[-cfg.log_interval:])),
