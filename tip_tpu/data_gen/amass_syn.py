@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tip_tpu import constants as cst
-from tip_tpu.chars.amass import AMASS_CHAR, IMU_JOINTS_KNEE, SBP_LINKS
+from tip_tpu.chars.amass import (AMASS_CHAR, IMU_JOINTS_ANKLE,
+                                 IMU_JOINTS_KNEE, SBP_LINKS)
 from tip_tpu.data_gen import smpl
 from tip_tpu.ops import imu as imu_ops
 from tip_tpu.ops import kinematics as kin
@@ -54,10 +55,14 @@ def _char_joint_quats(aa60):
     return rot.aa_to_q(jnp.asarray(char_aa))
 
 
-def fk_motion(aa60, trans60, height: float):
+def fk_motion(aa60, trans60, height: float, use_knee_imu: bool = True):
     """FK the resampled motion. Returns dict with per-frame:
     pq_imu_points (T, 6, 7) for the IMU sensor set and pq_sbp (T, 5, 7) for
     the SBP link set (CoM frames; root entry uses the ROOT_COM_OFFSET point).
+
+    use_knee_imu selects the knee sensor set (the reference's
+    USE_KNEE_RATHER_ANKLE_IMU=True default) vs the ankle variant
+    (data-gen-and-viz-bullet-new.py:32,157-174).
     """
     scale = height / 1.6
     skel = kin.amass_skeleton(scale=scale, dtype=jnp.float64)
@@ -78,8 +83,9 @@ def fk_motion(aa60, trans60, height: float):
             rows.append(root_pq if j == -1 else pq_com[:, j + 1])
         return jnp.stack(rows, axis=1)
 
+    imu_joints = IMU_JOINTS_KNEE if use_knee_imu else IMU_JOINTS_ANKLE
     return {
-        "pq_imu": gather(IMU_JOINTS_KNEE),         # (T, 6, 7)
+        "pq_imu": gather(imu_joints),              # (T, 6, 7)
         "pq_sbp": gather(SBP_LINKS),               # (T, 5, 7)
     }
 
@@ -137,7 +143,8 @@ def nimble_qdq(aa60, trans60, dt: float = cst.DT) -> np.ndarray:
 
 
 def synthesize(motion: smpl.SmplMotion, height: Optional[float] = None,
-               rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
+               rng: Optional[np.random.Generator] = None,
+               use_knee_imu: bool = True) -> Dict[str, np.ndarray]:
     """Full per-motion synthesis -> {imu, nimble_qdq, constrs} (the
     per-motion pkl payload, reference :273-278)."""
     rng = rng or np.random.default_rng()
@@ -148,7 +155,7 @@ def synthesize(motion: smpl.SmplMotion, height: Optional[float] = None,
     if len(aa60) < 2 + 2 * cst.ACC_FD_N:
         raise ValueError("motion too short")
 
-    fk = fk_motion(aa60, trans60, height)
+    fk = fk_motion(aa60, trans60, height, use_knee_imu=use_knee_imu)
     return {
         "imu": imu_from_fk(fk["pq_imu"]),
         "nimble_qdq": nimble_qdq(aa60, trans60),

@@ -108,9 +108,14 @@ def compute_metrics(skel: kin.Skeleton, gt_qdq: np.ndarray,
 
 
 def evaluate(params, cfg: EvalConfig, test_files: Sequence[str],
-             skel: Optional[kin.Skeleton] = None, log=print):
+             skel: Optional[kin.Skeleton] = None, log=print,
+             save_trajs_path: Optional[str] = None):
     """Full harness over a list of per-motion pickles. Returns
-    (per_motion list of metric dicts, means dict, maxima dict)."""
+    (per_motion list of metric dicts, means dict, maxima dict).
+
+    save_trajs_path: optional pkl dump of {gt_list, ours_list, files} — the
+    reference's raw-trajectory artifact (offline_testing_simple.py:414-420,
+    test-output-tmp.pkl)."""
     random.seed(cfg.seed)
     np.random.seed(cfg.seed)
     skel = skel or kin.amass_skeleton()
@@ -120,6 +125,7 @@ def evaluate(params, cfg: EvalConfig, test_files: Sequence[str],
         files = random.sample(files, cfg.max_motions_per_cat)
 
     per_motion, used = [], []
+    gt_list, ours_list = [], []
     for f in files:
         if not os.path.exists(f):
             log(f"ignored {f}")
@@ -140,7 +146,15 @@ def evaluate(params, cfg: EvalConfig, test_files: Sequence[str],
         pred = run_motion(params, cfg, skel, X, Y)
         per_motion.append(compute_metrics(skel, Y, pred, cfg))
         used.append(f)
+        if save_trajs_path:
+            gt_list.append(Y)
+            ours_list.append(np.asarray(pred))
         log(f"{f}: {per_motion[-1]}")
+
+    if save_trajs_path:
+        with open(save_trajs_path, "wb") as fh:
+            pickle.dump({"gt_list": gt_list, "ours_list": ours_list,
+                         "files": used}, fh, protocol=pickle.HIGHEST_PROTOCOL)
 
     means = {k: float(np.mean([m[k] for m in per_motion]))
              for k in METRIC_NAMES} if per_motion else {}
