@@ -98,6 +98,15 @@ def main():
     carry = FR.full_runner_init(cfg, skel, jnp.asarray(s_init, jnp.float32))
     step = jax.jit(lambda p, c, x: FR.full_runner_step(p, c, x, cfg, skel))
 
+    # compile before the real-time loop starts (first call is slow)
+    print("compiling runner step…")
+    t0 = time.time()
+    warm_carry, warm_out = step(params, carry,
+                                jnp.zeros(72, jnp.float32).at[0].set(1.0)
+                                .at[4].set(1.0).at[8].set(1.0))
+    jax.block_until_ready(warm_out["qdq"])
+    print(f"compiled in {time.time()-t0:.1f}s")
+
     out_f = open(args.out, "w") if args.out else None
     rec = [] if args.record else None
     t0 = time.time()
