@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--seed", type=int, default=5104)
     ap.add_argument("--n_model_shards", type=int, default=1,
                     help="tensor-parallel mesh axis size")
+    ap.add_argument("--warm_start", default=None,
+                    help="orbax ckpt dir or reference .pt: load weights only")
     args = ap.parse_args()
 
     import jax
@@ -67,7 +69,8 @@ def main():
         mesh = mesh_lib.make_mesh(n_model=args.n_model_shards)
         print("mesh:", dict(zip(mesh.axis_names, mesh.devices.shape)))
 
-    train_lib.train_loop(cfg, ds, mesh=mesh, ckpt_dir=args.save_path)
+    train_lib.train_loop(cfg, ds, mesh=mesh, ckpt_dir=args.save_path,
+                         warm_start=args.warm_start)
 
 
 if __name__ == "__main__":

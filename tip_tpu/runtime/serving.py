@@ -23,23 +23,46 @@ class StreamPool:
 
     def __init__(self, params, cfg: runner_lib.RunnerConfig,
                  skel: Optional[kin.Skeleton] = None, capacity: int = 64,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, mesh=None):
+        """mesh: optional jax Mesh — shards the pool (and each tick's IMU
+        batch) over the ``data`` axis so one pool spans a whole pod slice
+        (SURVEY.md §2.8 multi-stream sharding). capacity must divide evenly.
+        """
         self.cfg = cfg
         self.capacity = capacity
         self.params = params
         self.skel = skel or kin.amass_skeleton(dtype=dtype)
         self._dtype = dtype
+        self._mesh = mesh
+        if mesh is not None:
+            from tip_tpu.parallel import mesh as mesh_lib
+            n_data = mesh.devices.shape[0]
+            assert capacity % n_data == 0, "capacity must divide the data axis"
+            self._batch_sharding = mesh_lib.batch_sharding(mesh)
+        else:
+            self._batch_sharding = None
 
         zero_init = jnp.zeros(2 * cst.N_DOFS, dtype)
         single = runner_lib.runner_init(cfg, self.skel, zero_init, dtype)
         self._carries = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (capacity,) + x.shape).copy(), single)
+        if self._batch_sharding is not None:
+            self._carries = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self._batch_sharding),
+                self._carries)
+
         self.active = np.zeros(capacity, bool)
 
         def one(params, carry, imu_t):
             return runner_lib.runner_step(params, carry, imu_t, cfg, self.skel)
 
-        self._step = jax.jit(jax.vmap(one, in_axes=(None, 0, 0)))
+        batched = jax.vmap(one, in_axes=(None, 0, 0))
+        if self._batch_sharding is not None:
+            bs = self._batch_sharding
+            self._step = jax.jit(batched, in_shardings=(None, bs, bs),
+                                 out_shardings=(bs, bs))
+        else:
+            self._step = jax.jit(batched)
         self._slot_init = jax.jit(
             lambda s: runner_lib.runner_init(cfg, self.skel, s, dtype))
 

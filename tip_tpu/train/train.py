@@ -188,14 +188,27 @@ def restore_checkpoint(ckpt_dir: str, cfg: TrainConfig,
 
 
 def train_loop(cfg: TrainConfig, dataset, *, mesh=None, ckpt_dir=None,
-               log_fn=print, max_epochs: Optional[int] = None):
+               log_fn=print, max_epochs: Optional[int] = None,
+               warm_start: Optional[str] = None):
     """Full training driver (reference train_model.py:242-244 epoch loop).
 
     dataset: tip_tpu.train.data.PackedDataset. Returns the final TrainState.
+    warm_start: orbax checkpoint dir or reference .pt file — loads weights
+    only, like the reference's --warm_start (train_model.py:109-111); unlike
+    it, resuming *with* optimizer state is also available via
+    restore_checkpoint.
     """
     from tip_tpu.train import data as data_lib
 
     state = init_state(cfg)
+    if warm_start:
+        if warm_start.endswith(".pt"):
+            import torch
+            params = M.params_from_torch_state_dict(
+                torch.load(warm_start, map_location="cpu"), cfg.model)
+        else:
+            params = restore_checkpoint(warm_start, cfg).params
+        state = state.replace(params=params)
     if mesh is not None:
         state = shard_state(state, mesh)
     step_fn = make_train_step(cfg, mesh)
