@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--five_sbp", action="store_true")
     ap.add_argument("--with_acc_sum", action="store_true")
     ap.add_argument("--full_runner", action="store_true")
+    ap.add_argument("--save_trajs", default=None,
+                    help="dump raw gt/pred trajectories to this pkl "
+                         "(reference test-output-tmp.pkl)")
     args = ap.parse_args()
 
     from tip_tpu import constants as cst
@@ -61,7 +64,8 @@ def main():
     files = H.collect_test_files(args.data_root, dirs,
                                  args.name_contains.split())
     print(f"{len(files)} candidate motions")
-    per_motion, means, maxima = H.evaluate(params, cfg, files)
+    per_motion, means, maxima = H.evaluate(params, cfg, files,
+                                           save_trajs_path=args.save_trajs)
 
     print(json.dumps({"means": means}, indent=2))
     for k, (v, f) in maxima.items():

@@ -57,6 +57,12 @@ class RunnerConfig:
     # exponential output filter weights 0.6^[5..0] (reference :57)
     filter_len: int = 6
 
+    def __post_init__(self):
+        # the per-frame acc-sum equals the sum over the model window only
+        # when the two lengths coincide (reference constants: both 40)
+        assert self.window == cst.ACC_SUM_WIN_LEN or not self.with_acc_sum, (
+            "acc-sum feature requires window == ACC_SUM_WIN_LEN")
+
     @property
     def smooth_win(self) -> int:
         return 2 * self.imu_n_smooth + 1   # 11
