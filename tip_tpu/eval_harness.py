@@ -29,8 +29,8 @@ from tip_tpu.runtime import runner as runner_lib
 from tip_tpu.runtime import full_runner as full_runner_lib
 from tip_tpu.runtime import terrain as terrain_lib
 
-METRIC_NAMES = ("angle_deg", "j_pos_cm", "root_drift_2s", "root_drift_5s",
-                "root_drift_10s", "jerk", "root_jerk")
+METRIC_NAMES = ("angle_deg", "sip_deg", "j_pos_cm", "root_drift_2s",
+                "root_drift_5s", "root_drift_10s", "jerk", "root_jerk")
 
 
 @dataclasses.dataclass
@@ -98,6 +98,7 @@ def compute_metrics(skel: kin.Skeleton, gt_qdq: np.ndarray,
     args = (jnp.asarray(aa1), jnp.asarray(aa2), pq1, pq2)
     return {
         "angle_deg": float(metrics_lib.loss_angle(*args)),
+        "sip_deg": float(metrics_lib.loss_sip(*args)),
         "j_pos_cm": float(metrics_lib.loss_j_pos(*args)),
         "root_drift_2s": float(metrics_lib.loss_root_dist_pos(*args, t=2.0)),
         "root_drift_5s": float(metrics_lib.loss_root_dist_pos(*args, t=5.0)),

@@ -59,6 +59,20 @@ def loss_root_jerk(aa_1, aa_2, pq_g_1=None, pq_g_2=None):
     return jnp.mean(jnp.linalg.norm(jerk, axis=1)) * 100.0
 
 
+def loss_sip(aa_1, aa_2, pq_g_1=None, pq_g_2=None):
+    """SIP error: mean global orientation error of hips and shoulders in
+    degrees — the standard sparse-IMU benchmark metric (named in the
+    project north star; computed like loss_global_angle restricted to
+    lhip/rhip/lshoulder/rshoulder links)."""
+    rows = jnp.asarray([1, 4, 13, 17])     # link slots: joint idx + 1
+    q1 = pq_g_1[:, rows, 3:].reshape(-1, 4)
+    q2 = pq_g_2[:, rows, 3:].reshape(-1, 4)
+    dq = rot.q_diff(q1, q2)
+    dq = dq * jnp.sign(jnp.where(dq[:, 3:4] == 0, 1.0, dq[:, 3:4]))
+    ang = jnp.linalg.norm(rot.q_to_aa(dq), axis=1)
+    return jnp.mean(ang) * _RAD2DEG
+
+
 def loss_root_dist_pos(aa_1, aa_2, pq_g_1=None, pq_g_2=None, t: float = 1.0):
     """Root drift after t seconds, meters (data_utils.py:381-391)."""
     ind = int(t / cst.DT) - 1

@@ -75,6 +75,25 @@ def plot_sbp_residue_drift(pq_link: np.ndarray, constrs_link: np.ndarray,
     return drift
 
 
+def plot_terrain(region_heights: np.ndarray, out_png: str,
+                 grid_size: float = cst.GRID_SIZE):
+    """Render a terrain height field (runtime.terrain.height_field output) —
+    the matplotlib stand-in for the reference's PyBullet heightfield view."""
+    plt = _plt()
+    g = region_heights.shape[0]
+    extent = [-g / 2 * grid_size, g / 2 * grid_size] * 2
+    fig, ax = plt.subplots(figsize=(6, 5))
+    im = ax.imshow(region_heights.T, origin="lower", extent=extent,
+                   cmap="terrain")
+    fig.colorbar(im, ax=ax, label="height (m)")
+    ax.set_xlabel("x (m)")
+    ax.set_ylabel("y (m)")
+    ax.set_title("estimated terrain height regions")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)
+
+
 def plot_imu_overlay(real_imu: np.ndarray, syn_imu: np.ndarray, out_png: str,
                      sensor: int = 0):
     """Real vs synthetic IMU acc + one orientation column for one sensor
