@@ -144,16 +144,24 @@ def make_train_step(cfg: TrainConfig, mesh=None):
 
 
 def shard_state(state: TrainState, mesh) -> TrainState:
-    """Place params/opt-state per the TP sharding rules, scalars replicated."""
+    """Place params per the TP sharding rules; optimizer moments (any
+    opt-state subtree with the params' structure, e.g. Adam's mu/nu) follow
+    the same shardings; everything else replicates."""
     p_shard = mesh_lib.param_shardings(mesh, state.params)
     rep = mesh_lib.replicated(mesh)
-    params = jax.device_put(state.params, p_shard)
-    opt_state = jax.device_put(
-        state.opt_state,
-        jax.tree_util.tree_map(
-            lambda x: rep, state.opt_state,
-            is_leaf=lambda x: isinstance(x, (jnp.ndarray, np.ndarray))))
-    return TrainState(params=params, opt_state=opt_state,
+    p_struct = jax.tree_util.tree_structure(state.params)
+
+    def place(o):
+        if hasattr(o, "_fields"):                       # optax NamedTuple state
+            return type(o)(*[place(getattr(o, f)) for f in o._fields])
+        if isinstance(o, tuple):                        # chain state
+            return tuple(place(e) for e in o)
+        if jax.tree_util.tree_structure(o) == p_struct:
+            return jax.device_put(o, p_shard)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), o)
+
+    return TrainState(params=jax.device_put(state.params, p_shard),
+                      opt_state=place(state.opt_state),
                       step=jax.device_put(state.step, rep),
                       rng=jax.device_put(state.rng, rep))
 
