@@ -187,9 +187,19 @@ def restore_checkpoint(ckpt_dir: str, cfg: TrainConfig,
     template = init_state(cfg)
     with ocp.CheckpointManager(ckpt_dir) as mngr:
         step = step if step is not None else mngr.latest_step()
-        restored = mngr.restore(step, args=ocp.args.StandardRestore(
-            {"params": template.params, "opt_state": template.opt_state,
-             "step": template.step, "rng": template.rng}))
+        try:
+            restored = mngr.restore(step, args=ocp.args.StandardRestore(
+                {"params": template.params, "opt_state": template.opt_state,
+                 "step": template.step, "rng": template.rng}))
+        except ValueError as e:
+            if "not compatible with the stored shape" in str(e):
+                raise ValueError(
+                    f"checkpoint at {ckpt_dir} does not match the model "
+                    f"config (size_s={cfg.model.size_s}, with_acc_sum="
+                    f"{cfg.model.with_acc_sum}) — check the --five_sbp / "
+                    f"--with_acc_sum flags used at training time. "
+                    f"Original error: {e}") from e
+            raise
     return TrainState(params=restored["params"],
                       opt_state=restored["opt_state"],
                       step=restored["step"], rng=restored["rng"])
