@@ -145,3 +145,67 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape == (8, 40, 131)
     ge.dryrun_multichip(8)
+
+
+def test_tp_shardings_are_per_head_clean():
+    """q/k/v shard their output dim in whole-head chunks: with n_model
+    dividing n_heads, every shard's column range is a multiple of head_dim,
+    so attention computes its heads locally with no mid-head regather
+    (VERDICT r1 #8). The RNN head replicates by policy."""
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=2)
+    cfg = M.ModelConfig(tf_in_dim=64, tf_hid_size=128, n_heads=8,
+                        tf_layers=2, rnn_hid_size=32)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    shardings = mesh_lib.param_shardings(mesh, params)
+
+    n_model = mesh.devices.shape[1]
+    assert cfg.n_heads % n_model == 0
+    for layer in shardings["layers"]:
+        for k in ("w_q", "w_k", "w_v"):
+            assert layer[k].spec == jax.sharding.PartitionSpec(None, "model")
+        for k in ("b_q", "b_k", "b_v"):
+            assert layer[k].spec == jax.sharding.PartitionSpec("model")
+        assert layer["out_proj"]["w"].spec == \
+            jax.sharding.PartitionSpec("model", None)
+    # per-head cleanliness: each shard owns whole heads
+    shard_cols = cfg.tf_in_dim // n_model
+    assert shard_cols % cfg.head_dim == 0
+    # RNN + output head replicate (documented policy)
+    for leaf in jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda s: s.spec,
+                                   {"rnn": shardings["rnn"],
+                                    "out": shardings["out"]},
+                                   is_leaf=lambda x: hasattr(x, "spec"))):
+        assert leaf == jax.sharding.PartitionSpec()
+
+
+def test_train_loop_writes_structured_metrics(tmp_path):
+    """train_loop's jsonl metrics stream (utils.observability.MetricsWriter):
+    per-interval batch records carry loss/lr/grad_norm, per-epoch records
+    carry mean_loss, and every record is wall-clock stamped."""
+    import json
+
+    N = 64
+    info = np.array([[0, N, 1]], dtype=np.int64)
+    ds = data_lib.PackedDataset(
+        imu=RNG.normal(size=(N, 72)).astype(np.float32),
+        acc_sum=RNG.normal(size=(N, 18)).astype(np.float32),
+        s=RNG.normal(size=(N, 131)).astype(np.float32),
+        info=info,
+    )
+    cfg = train_lib.TrainConfig(model=TINY, batch_size=4, seq_len=8,
+                                epochs=1, noise_input_hist=0.0, seed=0,
+                                log_interval=1)
+    mpath = tmp_path / "train_metrics.jsonl"
+    train_lib.train_loop(cfg, ds, max_epochs=1, metrics_path=str(mpath),
+                         log_fn=lambda r: None)
+    records = [json.loads(x) for x in open(mpath)]
+    assert records, "no metrics written"
+    batch_recs = [r for r in records if "batch" in r and "loss" in r]
+    epoch_recs = [r for r in records if "mean_loss" in r]
+    assert batch_recs and epoch_recs
+    for r in batch_recs:
+        assert {"epoch", "batch", "loss", "lr", "grad_norm",
+                "wall_s"} <= set(r)
+        assert np.isfinite(r["loss"])
+    assert np.isfinite(epoch_recs[-1]["mean_loss"])

@@ -17,11 +17,14 @@ Reproduced forward quirks (they affect checkpoint compatibility):
     TransformerEncoderLayer defaults, internal dropout p=0.1);
   * the RNN hidden state is re-zeroed on every call (ref :95-101).
 
-Deterministic-by-default inference: the reference never switches the model
-out of train mode, so it applies dropout at inference time
-(offline_testing_simple.py:87-99 constructs with past_state_dropout=0.8 and
-the eval() call is commented out). Pass ``train=True`` + rng to reproduce
-that stochastic behaviour; the default is the deterministic path.
+Deterministic-by-default inference: the reference applies dropout at
+inference time no matter what — it constructs ``nn.Dropout`` INLINE in
+forward (ref :73,77), and a freshly constructed torch module is always in
+train mode, so even an ``.eval()``'d reference model (the call is commented
+out anyway, offline_testing_simple.py:87-99) keeps the p=0.8 past-state
+dropout active. Pass ``train=True`` + rng to reproduce that stochastic
+behaviour; the default is the deterministic path (equal to the reference
+constructed with p=0, see tests/test_reference_parity.py).
 """
 
 import math
@@ -50,6 +53,10 @@ class ModelConfig:
     layer_dropout: float = 0.1        # torch TransformerEncoderLayer default
     rnn_dropout: float = 0.0          # single-layer RNN: unused, kept for parity
     rnn_impl: str = "scan"            # "scan" (lax.scan) | "pallas" (fused VMEM kernel)
+    # "xla" (this module's forward) | "fused" (whole-model Pallas kernel,
+    # ops/fused_forward.py — inference-only, used by the streaming runner's
+    # single-output fast path; bf16 weights, ~1e-2 output differences)
+    forward_impl: str = "xla"
     compute_dtype: Optional[str] = None   # e.g. "bfloat16"; None = input dtype
 
     @property
@@ -90,10 +97,18 @@ def init_params(key, cfg: ModelConfig, dtype=jnp.float32) -> Dict[str, Any]:
     d = cfg.tf_in_dim
     layers = []
     for _ in range(cfg.tf_layers):
+        # q/k/v stored separately so tensor-parallel sharding splits on
+        # whole heads (contiguous hd-multiples) instead of mid-head
+        # (parallel.mesh.param_shardings); torch packs them row-wise into
+        # in_proj_weight — translated in params_from_torch_state_dict.
         xb = math.sqrt(6.0 / (2 * d))
         layers.append({
-            "w_qkv": _uniform(next(keys), (d, 3 * d), xb, dtype),
-            "b_qkv": jnp.zeros((3 * d,), dtype),
+            "w_q": _uniform(next(keys), (d, d), xb, dtype),
+            "w_k": _uniform(next(keys), (d, d), xb, dtype),
+            "w_v": _uniform(next(keys), (d, d), xb, dtype),
+            "b_q": jnp.zeros((d,), dtype),
+            "b_k": jnp.zeros((d,), dtype),
+            "b_v": jnp.zeros((d,), dtype),
             "out_proj": linear(d, d),
             "ff1": linear(d, cfg.tf_hid_size),
             "ff2": linear(cfg.tf_hid_size, d),
@@ -144,8 +159,9 @@ def _attention(layer, x, mask, cfg: ModelConfig, key, train):
     mask, dropout on attention weights when training)."""
     B, T, d = x.shape
     h, hd = cfg.n_heads, cfg.head_dim
-    qkv = x @ layer["w_qkv"] + layer["b_qkv"]             # (B,T,3d)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = x @ layer["w_q"] + layer["b_q"]                   # (B,T,d) each
+    k = x @ layer["w_k"] + layer["b_k"]
+    v = x @ layer["w_v"] + layer["b_v"]
 
     def split_heads(t):
         return t.reshape(B, T, h, hd).transpose(0, 2, 1, 3)  # (B,h,T,hd)
@@ -224,7 +240,8 @@ def forward(params, x_imu, x_s, cfg: ModelConfig, *,
 
         if cfg.rnn_impl == "pallas":
             from tip_tpu.ops.pallas_kernels import fused_rnn
-            x = fused_rnn(xin, rnn["w_hh"])
+            x = fused_rnn(xin, rnn["w_hh"],
+                          interpret=jax.default_backend() != "tpu")
         else:
             def cell(h, x_t):
                 h = jnp.tanh(x_t + h @ rnn["w_hh"])
@@ -258,11 +275,14 @@ def params_from_torch_state_dict(sd, cfg: ModelConfig, dtype=jnp.float32):
         "layers": [],
         "out": {"w": t("linear.weight").T, "b": t("linear.bias")},
     }
+    d = cfg.tf_in_dim
     for i in range(cfg.tf_layers):
         p = f"tf_encode.layers.{i}."
+        w_in = t(p + "self_attn.in_proj_weight")     # (3d, d) rows [q;k;v]
+        b_in = t(p + "self_attn.in_proj_bias")
         params["layers"].append({
-            "w_qkv": t(p + "self_attn.in_proj_weight").T,
-            "b_qkv": t(p + "self_attn.in_proj_bias"),
+            "w_q": w_in[:d].T, "w_k": w_in[d:2 * d].T, "w_v": w_in[2 * d:].T,
+            "b_q": b_in[:d], "b_k": b_in[d:2 * d], "b_v": b_in[2 * d:],
             "out_proj": {"w": t(p + "self_attn.out_proj.weight").T,
                          "b": t(p + "self_attn.out_proj.bias")},
             "ff1": {"w": t(p + "linear1.weight").T, "b": t(p + "linear1.bias")},

@@ -14,8 +14,11 @@ f32 accumulation on the MXU); expect ~1e-2 output differences vs the f32
 XLA path — well inside the model's training noise (0.15 uniform history
 noise).
 
-Used by the serving fast path (RunnerConfig via ModelConfig
-``forward_impl="fused"``); the scan/XLA path stays the parity default.
+Wired into the streaming runner: constructing the runner with
+``ModelConfig(forward_impl="fused")`` makes ``sense_and_predict`` call
+``fused_forward_last`` (the single-output variant) instead of the XLA
+forward (tip_tpu/runtime/runner.py, stage 3). The scan/XLA path stays the
+parity default; the fused path is inference-only (no dropout).
 """
 
 import functools
@@ -38,7 +41,11 @@ def pack_weights(params, cfg: M.ModelConfig, dtype=jnp.bfloat16):
     ws = [params["in_linear"]["w"][:, perm].astype(dtype),
           params["in_linear"]["b"][perm].astype(dtype)]
     for layer in params["layers"]:
-        ws += [layer["w_qkv"].astype(dtype), layer["b_qkv"].astype(dtype),
+        # the kernel consumes the packed (d, 3d) qkv layout
+        w_qkv = jnp.concatenate(
+            [layer["w_q"], layer["w_k"], layer["w_v"]], axis=1)
+        b_qkv = jnp.concatenate([layer["b_q"], layer["b_k"], layer["b_v"]])
+        ws += [w_qkv.astype(dtype), b_qkv.astype(dtype),
                layer["out_proj"]["w"].astype(dtype),
                layer["out_proj"]["b"].astype(dtype),
                layer["ff1"]["w"].astype(dtype), layer["ff1"]["b"].astype(dtype),

@@ -63,18 +63,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def param_shardings(mesh: Mesh, params) -> dict:
     """Tensor-parallel PartitionSpecs for the TIP model parameter pytree.
 
-    Megatron-style: attention qkv and ff1 shard their output dim, out_proj
-    and ff2 shard their input dim; everything else replicates. With
-    n_model == 1 this degrades to full replication.
+    Megatron-style, per-head clean: q/k/v projections are stored separately
+    (models.tip_model init_params) and shard their OUTPUT dim — a contiguous
+    column split, so with n_model dividing n_heads every shard owns whole
+    heads and attention needs no mid-head regather; ff1 likewise shards its
+    output dim; out_proj and ff2 shard their INPUT dim (row-parallel, XLA
+    inserts the psum). Everything else replicates — including the tanh-RNN
+    head: its recurrence consumes the full hidden state every timestep, so
+    sharding w_hh would insert a collective inside a 40-step sequential
+    latency-bound loop; at 512x512 the weights are 1 MB and replication is
+    the right trade (documented policy, VERDICT r1 #8). With n_model == 1
+    this degrades to full replication.
     """
     def spec_for(path: str, leaf) -> P:
-        if ".layers." not in path:
+        # encoder-layer params live under the top-level "layers" list
+        # (paths look like "layers.0.w_q" — no leading dot)
+        if "layers" not in path.split("."):
             return P()
-        if path.endswith("w_qkv") or path.endswith("ff1.w"):
+        if path.endswith(("w_q", "w_k", "w_v", "ff1.w")):
             return P(None, MODEL_AXIS)
-        if path.endswith("b_qkv") or path.endswith("ff1.b"):
+        if path.endswith(("b_q", "b_k", "b_v", "ff1.b")):
             return P(MODEL_AXIS)
-        if path.endswith("out_proj.w") or path.endswith("ff2.w"):
+        if path.endswith(("out_proj.w", "ff2.w")):
             return P(MODEL_AXIS, None)
         return P()
 
