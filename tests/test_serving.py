@@ -77,3 +77,50 @@ def test_latency_histogram_and_metrics_writer(tmp_path):
     import json
     lines = [json.loads(x) for x in open(mpath)]
     assert lines[0]["step"] == 1 and lines[1]["loss"] == 0.25
+
+
+def test_stream_pool_chunked_matches_unchunked():
+    """chunk= processes the pool in lax.map sub-batches (large-pool VMEM
+    blocking, PERF.md); results must be identical to the plain vmap tick."""
+    params = M.init_params(jax.random.PRNGKey(0), TR.SMALL_MODEL,
+                           dtype=jnp.float64)
+    skel = kin.amass_skeleton(dtype=jnp.float64)
+    pool_a = StreamPool(params, TR.CFG, skel, capacity=4, dtype=jnp.float64)
+    pool_b = StreamPool(params, TR.CFG, skel, capacity=4, dtype=jnp.float64,
+                        chunk=2)
+    s_init = TR.make_s_init()
+    for p in (pool_a, pool_b):
+        for _ in range(4):
+            p.add_stream(s_init)
+    T = 10
+    batch = np.stack([TR.make_stream(T) for _ in range(4)])  # (4, T, 72)
+    for t in range(T):
+        oa = pool_a.step(batch[:, t])
+        ob = pool_b.step(batch[:, t])
+        np.testing.assert_allclose(np.asarray(ob["qdq"]),
+                                   np.asarray(oa["qdq"]), atol=1e-12)
+
+
+def test_stream_pool_kv_cache_mode():
+    """The pool serves the KV-cached runner unchanged (cache rides in the
+    carry pytree)."""
+    import dataclasses
+    cfg = dataclasses.replace(TR.CFG, serving_mode="kv_cache")
+    params = M.init_params(jax.random.PRNGKey(0), TR.SMALL_MODEL,
+                           dtype=jnp.float64)
+    skel = kin.amass_skeleton(dtype=jnp.float64)
+    pool = StreamPool(params, cfg, skel, capacity=2, dtype=jnp.float64)
+    s_init = TR.make_s_init()
+    pool.add_stream(s_init)
+    pool.add_stream(s_init)
+    T = 10
+    batch = np.stack([TR.make_stream(T) for _ in range(2)])
+    outs = [pool.step(batch[:, t]) for t in range(T)]
+    q = np.stack([np.asarray(o["qdq"]) for o in outs])
+    assert np.isfinite(q).all()
+    # matches the single-stream cached offline run per slot
+    for b in range(2):
+        s_traj, _, _ = R.run_offline(params, cfg, skel, jnp.asarray(s_init),
+                                     jnp.asarray(batch[b]))
+        np.testing.assert_allclose(q[:-1, b], np.asarray(s_traj)[1:T],
+                                   atol=1e-9)

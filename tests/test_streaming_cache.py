@@ -1,0 +1,106 @@
+"""KV-cached streaming mode vs the windowed recompute path.
+
+Key property under test (runtime/streaming_cache.py): while the 40-frame
+window is still GROWING, past tokens' context never changes, so the cached
+forward is bit-equal (f64) to the windowed recompute. Once the window
+slides, cached representations keep their original context — a documented,
+bounded divergence (the study summarised in PERF.md).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tip_tpu.models import tip_model as M
+from tip_tpu.ops import kinematics as kin
+from tip_tpu.runtime import runner as R
+
+import test_runner as TR
+
+# first frame index at which the window has slid: 5 warmup frames + 40
+_SLIDE_T = 5 + 40 + 1
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = M.init_params(jax.random.PRNGKey(0), TR.SMALL_MODEL,
+                           dtype=jnp.float64)
+    skel = kin.amass_skeleton(dtype=jnp.float64)
+    return params, skel
+
+
+def _run(params, skel, imu, s_init, serving_mode):
+    cfg = R.RunnerConfig(model=TR.SMALL_MODEL, serving_mode=serving_mode)
+    s, c, v = R.run_offline(params, cfg, skel, jnp.asarray(s_init),
+                            jnp.asarray(imu))
+    return np.asarray(s)
+
+
+def test_kv_cache_exact_while_window_grows(setup):
+    params, skel = setup
+    T = 40                                  # k reaches 35 < window
+    imu = TR.make_stream(T)
+    s_init = TR.make_s_init()
+    ref = _run(params, skel, imu, s_init, "recompute")
+    got = _run(params, skel, imu, s_init, "kv_cache")
+    np.testing.assert_allclose(got, ref, atol=1e-9)
+
+
+def test_kv_cache_bounded_divergence_after_slide(setup):
+    params, skel = setup
+    T = 80
+    imu = TR.make_stream(T)
+    s_init = TR.make_s_init()
+    ref = _run(params, skel, imu, s_init, "recompute")
+    got = _run(params, skel, imu, s_init, "kv_cache")
+    # exact up to (and including) the last pre-slide frame
+    np.testing.assert_allclose(got[:_SLIDE_T], ref[:_SLIDE_T], atol=1e-9)
+    assert np.isfinite(got).all()
+    # diverges after the slide (it is a different mode); magnitude is not
+    # asserted here — with random untrained weights the autoregressive loop
+    # is chaotic and axis-angle decode can flip representation. The numeric
+    # divergence study on a TRAINED model lives in PERF.md.
+    assert np.abs(got - ref).max() > 1e-12
+
+
+def test_rnn_carry_identical_until_slide_then_diverges(setup):
+    """The carried hidden state computes the SAME recurrence as replay-from-
+    zero while the encoder ring grows (append-only chain), so rnn_carry is
+    exact until the window slides; afterwards it integrates history the
+    replay forgets, so it must diverge from plain kv_cache."""
+    params, skel = setup
+    T = 80
+    imu = TR.make_stream(T)
+    s_init = TR.make_s_init()
+    ref = _run(params, skel, imu, s_init, "recompute")
+    cached = _run(params, skel, imu, s_init, "kv_cache")
+    carry = _run(params, skel, imu, s_init, "kv_cache_rnn_carry")
+    np.testing.assert_allclose(carry[:_SLIDE_T], ref[:_SLIDE_T], atol=1e-9)
+    assert np.isfinite(carry).all()
+    assert np.abs(carry[_SLIDE_T + 2:] - cached[_SLIDE_T + 2:]).max() > 1e-12
+
+
+def test_kv_cache_vmaps_for_batched_serving(setup):
+    """The cache is part of the carry pytree, so multi-stream vmap serving
+    works unchanged."""
+    params, skel = setup
+    cfg = R.RunnerConfig(model=TR.SMALL_MODEL, serving_mode="kv_cache")
+    step = R.make_multi_stream_step(cfg, skel)
+    B, T = 3, 12
+    s_init = TR.make_s_init()
+    carry0 = R.runner_init(cfg, skel, jnp.asarray(s_init), dtype=jnp.float64)
+    carries = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), carry0)
+    streams = np.stack([TR.make_stream(T) for _ in range(B)])
+    outs = []
+    for t in range(T):
+        carries, out = step(params, carries, jnp.asarray(streams[:, t]))
+        outs.append(np.asarray(out["qdq"]))
+    outs = np.stack(outs)                    # (T, B, 114)
+    assert np.isfinite(outs).all()
+    # each slot matches its own single-stream cached run
+    for b in range(B):
+        solo = _run(params, skel, streams[b], s_init, "kv_cache")
+        np.testing.assert_allclose(outs[:-1, b], solo[1:T], atol=1e-9)

@@ -126,7 +126,7 @@ def full_runner_step(params, carry: FullCarry, cur_imu,
     W = bcfg.window
 
     (raw, k_new, imu_win, accsum_win, acc_runsum, out_buf, n_out, active,
-     s_pred, c_pred) = sense_and_predict(params, b, cur_imu, bcfg, rng)
+     s_pred, c_pred, cache) = sense_and_predict(params, b, cur_imu, bcfg, rng)
 
     if cfg.playback_gt:
         s_t = jnp.asarray(s_gt, dtype)
@@ -217,6 +217,7 @@ def full_runner_step(params, carry: FullCarry, cur_imu,
         prev_root=jnp.where(active, s_t[:3], b.prev_root),
         c_locs=jnp.where(active, c_locs, b.c_locs),
         s_init=b.s_init,
+        cache=cache,
     )
     new_carry = FullCarry(
         base=new_base,

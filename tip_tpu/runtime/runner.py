@@ -56,6 +56,12 @@ class RunnerConfig:
     dt: float = cst.DT
     # exponential output filter weights 0.6^[5..0] (reference :57)
     filter_len: int = 6
+    # "recompute": windowed forward every frame (reference semantics);
+    # "kv_cache": per-layer K/V rings, only the newest token runs through
+    # the encoder (exact while the window grows; documented divergence once
+    # it slides — runtime.streaming_cache); "kv_cache_rnn_carry": same plus
+    # a carried RNN hidden (one RNN step/frame instead of a 40-step replay).
+    serving_mode: str = "recompute"
 
     def __post_init__(self):
         # the per-frame acc-sum equals the sum over the model window only
@@ -93,6 +99,8 @@ class RunnerCarry:
     prev_root: jnp.ndarray         # (3,) previous root xyz (post-correction)
     c_locs: jnp.ndarray            # (n_sbps, 3)
     s_init: jnp.ndarray            # (114,) initial state (warmup output)
+    cache: Optional["jnp.ndarray"] = None   # streaming_cache.KVCache when
+    #                                         serving_mode != "recompute"
 
 
 def state_to_history(s, c, n_sbps: int):
@@ -115,7 +123,12 @@ def runner_init(cfg: RunnerConfig, skel: kin.Skeleton, s_init,
     hist0 = state_to_history(s_init, jnp.zeros(cfg.n_sbps * 4, dtype), cfg.n_sbps)
     s_and_c = jnp.zeros((cfg.window, sd), dtype).at[0].set(hist0)
     pq0 = kin.fk_our_state(skel, s_init)
+    cache = None
+    if cfg.serving_mode != "recompute":
+        from tip_tpu.runtime import streaming_cache as SC
+        cache = SC.cache_init(cfg.model, cfg.window, dtype)
     return RunnerCarry(
+        cache=cache,
         t=jnp.zeros((), jnp.int32),
         raw_imu=jnp.zeros((cfg.smooth_win, cst.IMU_DIM), dtype),
         k=jnp.zeros((), jnp.int32),
@@ -143,7 +156,7 @@ def _push_left_aligned(win, k, x, window: int):
 
 class SensedFrame(tuple):
     """(raw, k_new, imu_win, accsum_win, acc_runsum, out_buf, n_out, active,
-    s_t, c_t) — output of the shared sensing/prediction front-end."""
+    s_t, c_t, cache) — output of the shared sensing/prediction front-end."""
     __slots__ = ()
 
 
@@ -190,10 +203,41 @@ def sense_and_predict(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
     if cfg.with_acc_sum:
         x_imu = jnp.concatenate(
             [imu_win, accsum_win / cst.ACC_SUM_DOWN_SCALE], axis=-1)
-    y = M.forward(params, x_imu[None], carry.s_and_c_win[None], cfg.model,
-                  rng=rng, train=rng is not None)
     last_idx = jnp.maximum(k_new - 1, 0)
-    y_t = y[0, last_idx]                               # (state_dim,)
+    cache = carry.cache
+    if cfg.serving_mode != "recompute":
+        # KV-cached streaming: only the newest token runs the encoder
+        # (runtime.streaming_cache; exact while the window grows)
+        assert rng is None, "kv-cache serving is inference-only"
+        from tip_tpu.runtime import streaming_cache as SC
+        hist_t = carry.s_and_c_win[jnp.minimum(last_idx, W - 1)]
+        parts = [local]
+        if cfg.with_acc_sum:
+            parts.append(runsum / cst.ACC_SUM_DOWN_SCALE)
+        x_token = jnp.concatenate(parts + [hist_t])
+        new_cache, y_t = SC.cached_forward_step(
+            params, carry.cache, x_token, carry.k, cfg.model,
+            rnn_carry=cfg.serving_mode == "kv_cache_rnn_carry")
+        # only commit the push when a smoothed frame actually arrived
+        cache = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(have_smoothed, n, o),
+            new_cache, carry.cache)
+        y_t = y_t.astype(dtype)
+    elif cfg.model.forward_impl == "fused":
+        # whole-model Pallas kernel, single-output fast path
+        # (ops/fused_forward.fused_forward_last) — inference only
+        assert rng is None, "fused forward_impl is inference-only"
+        from tip_tpu.ops import fused_forward as FF
+        pack_dtype = jnp.dtype(cfg.model.compute_dtype or jnp.bfloat16)
+        packed = tuple(FF.pack_weights(params, cfg.model, dtype=pack_dtype))
+        x_full = jnp.concatenate([x_imu, carry.s_and_c_win], axis=-1)
+        y_t = FF.fused_forward_last(
+            packed, x_full, last_idx, cfg.model,
+            interpret=jax.default_backend() != "tpu").astype(dtype)
+    else:
+        y = M.forward(params, x_imu[None], carry.s_and_c_win[None], cfg.model,
+                      rng=rng, train=rng is not None)
+        y_t = y[0, last_idx]                           # (state_dim,)
 
     # ---- 4. exponential output filter (ref :87-112) --------------------------
     out_buf = jnp.where(active,
@@ -224,7 +268,7 @@ def sense_and_predict(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
     s_t = jnp.where(has_last, blended, s_t)
 
     return SensedFrame((raw, k_new, imu_win, accsum_win, acc_runsum,
-                        out_buf, n_out, active, s_t, c_t))
+                        out_buf, n_out, active, s_t, c_t, cache))
 
 
 def runner_step(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
@@ -236,7 +280,7 @@ def runner_step(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
     n_sbps = cfg.n_sbps
     W = cfg.window
     (raw, k_new, imu_win, accsum_win, acc_runsum, out_buf, n_out, active,
-     s_t, c_t) = sense_and_predict(params, carry, cur_imu, cfg, rng)
+     s_t, c_t, cache) = sense_and_predict(params, carry, cur_imu, cfg, rng)
 
     # ---- 6. FK + SBP root correction (ref :169-194) ---------------------------
     pq_g, pq_g_jf = kin.fk_our_state(skel, s_t, return_joint_frame=True)
@@ -280,6 +324,7 @@ def runner_step(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
         prev_root=jnp.where(active, s_t[:3], carry.prev_root),
         c_locs=jnp.where(active, c_locs, carry.c_locs),
         s_init=carry.s_init,
+        cache=cache,
     )
     return new_carry, {"qdq": out_qdq, "viz_locs": out_viz, "ct": out_ct}
 

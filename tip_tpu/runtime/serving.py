@@ -23,13 +23,21 @@ class StreamPool:
 
     def __init__(self, params, cfg: runner_lib.RunnerConfig,
                  skel: Optional[kin.Skeleton] = None, capacity: int = 64,
-                 dtype=jnp.float32, mesh=None):
+                 dtype=jnp.float32, mesh=None, chunk: Optional[int] = None):
         """mesh: optional jax Mesh — shards the pool (and each tick's IMU
         batch) over the ``data`` axis so one pool spans a whole pod slice
         (SURVEY.md §2.8 multi-stream sharding). capacity must divide evenly.
+
+        chunk: process the pool in sub-batches of this size per tick
+        (lax.map). Beyond ~256-512 concurrent streams the per-tick working
+        set spills VMEM and throughput degrades (PERF.md); chunking keeps
+        large pools at the per-chunk rate. Must divide capacity.
         """
         self.cfg = cfg
         self.capacity = capacity
+        if chunk is not None:
+            assert capacity % chunk == 0, "chunk must divide capacity"
+        self.chunk = chunk
         self.params = params
         self.skel = skel or kin.amass_skeleton(dtype=dtype)
         self._dtype = dtype
@@ -56,7 +64,22 @@ class StreamPool:
         def one(params, carry, imu_t):
             return runner_lib.runner_step(params, carry, imu_t, cfg, self.skel)
 
-        batched = jax.vmap(one, in_axes=(None, 0, 0))
+        vstep = jax.vmap(one, in_axes=(None, 0, 0))
+        if chunk is not None and chunk < capacity:
+            n_chunks = capacity // chunk
+
+            def batched(params, carries, imu):
+                cs = jax.tree_util.tree_map(
+                    lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]),
+                    carries)
+                xs = imu.reshape(n_chunks, chunk, imu.shape[-1])
+                cs2, out = jax.lax.map(
+                    lambda args: vstep(params, args[0], args[1]), (cs, xs))
+                unchunk = lambda a: a.reshape((capacity,) + a.shape[2:])
+                return (jax.tree_util.tree_map(unchunk, cs2),
+                        jax.tree_util.tree_map(unchunk, out))
+        else:
+            batched = vstep
         if self._batch_sharding is not None:
             bs = self._batch_sharding
             self._step = jax.jit(batched, in_shardings=(None, bs, bs),
