@@ -32,8 +32,16 @@ def main():
     ap.add_argument("--out", default=None, help="jsonl pose output path")
     ap.add_argument("--record", default=None,
                     help="record calibrated 72-float frames (raw f32) for "
-                         "offline evaluation (reference records every 15 s, "
-                         "live_demo_new.py:313-323)")
+                         "offline evaluation; a snapshot is persisted every "
+                         "15 s like the reference (live_demo_new.py:313-323)")
+    ap.add_argument("--metrics", default=None,
+                    help="jsonl metrics output (latency percentiles every "
+                         "second + final summary)")
+    ap.add_argument("--viz", action="store_true",
+                    help="PyBullet viewer: predicted character + SBP markers "
+                         "+ terrain heightfield re-meshed every 15 frames "
+                         "(reference render_funcs.py:69-227, "
+                         "live_demo_new.py:293-305); needs the pybullet wheel")
     args = ap.parse_args()
 
     import numpy as np
@@ -107,10 +115,23 @@ def main():
     jax.block_until_ready(warm_out["qdq"])
     print(f"compiled in {time.time()-t0:.1f}s")
 
+    from tip_tpu.utils.observability import LatencyHistogram, MetricsWriter
+
+    viewer = None
+    to_bullet = None
+    if args.viz:
+        from tip_tpu.viz import pybullet_viz, urdf_export
+        viewer = pybullet_viz.Viewer(urdf_export.default_urdf_path(),
+                                     compare_gt=False)
+        to_bullet = jax.jit(kin.our_pose_to_bullet)
+
     out_f = open(args.out, "w") if args.out else None
+    metrics = MetricsWriter(args.metrics) if args.metrics else None
     rec = [] if args.record else None
+    rec_flushed = 0
+    hist = LatencyHistogram()
     t0 = time.time()
-    frame_times = []
+    last_report = t0
     t = 0
     try:
         while not args.seconds or time.time() - t0 < args.seconds:
@@ -118,14 +139,31 @@ def main():
             reading = client.current_reading()
             if cal is not None:
                 reading = cal_lib.transform_reading(cal, reading)
-            carry, out = step(params, carry, jnp.asarray(reading, jnp.float32))
-            qdq = np.asarray(out["qdq"])
+            with hist.timed():
+                carry, out = step(params, carry,
+                                  jnp.asarray(reading, jnp.float32))
+                qdq = np.asarray(out["qdq"])
             if out_f:
                 out_f.write(json.dumps({"t": t, "qdq": qdq.tolist()}) + "\n")
+            if viewer is not None:
+                viewer.set_pose(np.asarray(to_bullet(out["qdq"])))
+                viewer.set_markers(np.asarray(out["viz_locs"]))
+                if t % 15 == 0:   # heightfield re-mesh (ref :293-305)
+                    from tip_tpu.runtime import terrain as _terr
+                    viewer.update_heightfield(
+                        np.asarray(_terr.height_field(carry.terrain)),
+                        cfg.terrain.grid_size)
             if rec is not None:
                 rec.append(reading.astype(np.float32))
+                # persist a snapshot every 15 s (reference
+                # live_demo_new.py:313-323 dumps a pkl every 15 s)
+                if len(rec) - rec_flushed >= int(15.0 / cst.DT):
+                    np.stack(rec).tofile(args.record)
+                    rec_flushed = len(rec)
+            if metrics is not None and time.time() - last_report >= 1.0:
+                metrics.write(kind="latency", frame=t, **hist.summary())
+                last_report = time.time()
             # 60 Hz pacing
-            frame_times.append(time.perf_counter() - tick)
             sleep = cst.DT - (time.perf_counter() - tick)
             if sleep > 0:
                 time.sleep(sleep)
@@ -136,12 +174,17 @@ def main():
         client.stop()
         if out_f:
             out_f.close()
+        if viewer is not None:
+            viewer.close()
         if rec:
             np.stack(rec).tofile(args.record)
-        if frame_times:
-            lat = np.array(frame_times) * 1e3
-            print(f"frames={t} p50={np.percentile(lat,50):.2f}ms "
-                  f"p99={np.percentile(lat,99):.2f}ms")
+        summ = hist.summary()
+        if metrics is not None:
+            metrics.write(kind="final", frames=t, **summ)
+            metrics.close()
+        if summ.get("count"):
+            print(f"frames={t} p50={summ['p50_ms']:.2f}ms "
+                  f"p99={summ['p99_ms']:.2f}ms")
 
 
 if __name__ == "__main__":

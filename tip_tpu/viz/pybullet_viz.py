@@ -98,3 +98,33 @@ class Viewer:
 
     def close(self):
         self.pb.disconnect(self.client)
+
+
+def replay_compare(viewer: "Viewer", pred_bullet: np.ndarray,
+                   gt_bullet: Optional[np.ndarray] = None,
+                   viz_locs: Optional[np.ndarray] = None,
+                   heights: Optional[np.ndarray] = None,
+                   grid_size: float = 0.1,
+                   fps: Optional[float] = 60.0,
+                   heightfield_every: int = 15):
+    """Replay predicted (and optionally GT) bullet-format pose trajectories
+    through the viewer: two characters + SBP markers + terrain heightfield,
+    like the reference's offline compare loop
+    (offline_testing_simple.py:228-260, render_funcs.py:69-227).
+
+    Documented divergence: offline we re-mesh the FINAL terrain map every
+    ``heightfield_every`` frames (the reference re-meshes the evolving map;
+    the offline scan driver only materialises the final state).
+    """
+    import time as _time
+    T = len(pred_bullet)
+    for t in range(T):
+        viewer.set_pose(np.asarray(pred_bullet[t]))
+        if gt_bullet is not None and viewer.body_gt is not None:
+            viewer.set_pose(np.asarray(gt_bullet[t]), gt=True)
+        if viz_locs is not None:
+            viewer.set_markers(np.asarray(viz_locs[t]))
+        if heights is not None and t % heightfield_every == 0:
+            viewer.update_heightfield(np.asarray(heights), grid_size)
+        if fps:
+            _time.sleep(1.0 / fps)
