@@ -167,3 +167,57 @@ def test_metrics_zero_for_perfect_prediction(pipeline_dir):
     assert m["angle_deg"] < 1e-3
     assert m["j_pos_cm"] < 1e-3
     assert m["root_drift_5s"] < 1e-5
+
+
+def test_eval_harness_full_runner_multi_sbp_and_hooks(pipeline_dir, tmp_path):
+    """The eval protocol exercises the full runner's SBP-conditioned IK
+    feedback + pelvis terrain (EvalConfig.multi_sbp, VERDICT r1 #6), emits
+    structured jsonl records, and feeds the viz hook per motion."""
+    import json
+
+    _, pkl_dir = pipeline_dir
+    tiny = M.ModelConfig(tf_in_dim=32, tf_hid_size=64, n_heads=4, tf_layers=2,
+                         rnn_hid_size=24)
+    params = M.init_params(jax.random.PRNGKey(0), tiny)
+    files = [os.path.join(pkl_dir, f) for f in sorted(os.listdir(pkl_dir))][:1]
+
+    from tip_tpu.utils.observability import MetricsWriter
+
+    results = {}
+    for multi_sbp in (False, True):
+        cfg = H.EvalConfig(runner=runner_lib.RunnerConfig(model=tiny),
+                           use_full_runner=True, multi_sbp=multi_sbp,
+                           test_len=200, max_motions_per_cat=1)
+        hook_calls = []
+        mpath = tmp_path / f"eval_{multi_sbp}.jsonl"
+        mw = MetricsWriter(str(mpath))
+        per_motion, means, maxima = H.evaluate(
+            params, cfg, files, log=lambda *a: None,
+            viz_hook=lambda f, gt, pred, info: hook_calls.append(info),
+            metrics_writer=mw)
+        mw.close()
+        assert len(per_motion) == 1
+        for k in H.METRIC_NAMES:
+            assert np.isfinite(means[k]), (k, means)
+        results[multi_sbp] = means
+
+        # viz hook received the SBP marker track and the terrain state
+        assert len(hook_calls) == 1
+        info = hook_calls[0]
+        assert info["viz_locs"].ndim == 3 and info["viz_locs"].shape[1:] == (5, 3)
+        assert "terrain" in info and "terrain_cfg" in info
+
+        # jsonl schema: one motion record + one summary record
+        records = [json.loads(x) for x in open(mpath)]
+        kinds = [r["kind"] for r in records]
+        assert kinds.count("motion") == 1 and kinds.count("summary") == 1
+        motion_rec = records[kinds.index("motion")]
+        assert set(H.METRIC_NAMES) <= set(motion_rec)
+        summary = records[kinds.index("summary")]
+        assert set(H.METRIC_NAMES) <= set(summary["means"])
+
+    # the IK history feedback + pelvis terrain path actually changes the
+    # streamed trajectory (it is exercised, not dead-configured)
+    diffs = [abs(results[True][k] - results[False][k])
+             for k in ("angle_deg", "j_pos_cm")]
+    assert max(diffs) > 0, results

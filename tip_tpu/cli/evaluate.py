@@ -31,9 +31,19 @@ def main():
     ap.add_argument("--five_sbp", action="store_true")
     ap.add_argument("--with_acc_sum", action="store_true")
     ap.add_argument("--full_runner", action="store_true")
+    ap.add_argument("--multi_sbp", action="store_true",
+                    help="SBP-conditioned IK history feedback + pelvis "
+                         "terrain updates (needs --full_runner; reference "
+                         "MULTI_SBP_CORRECTION)")
     ap.add_argument("--save_trajs", default=None,
                     help="dump raw gt/pred trajectories to this pkl "
                          "(reference test-output-tmp.pkl)")
+    ap.add_argument("--metrics", default=None,
+                    help="structured jsonl results (per-motion + summary)")
+    ap.add_argument("--viz_compare", action="store_true",
+                    help="replay each motion in the PyBullet viewer: ours vs "
+                         "GT + SBP markers + terrain (needs the pybullet "
+                         "wheel; reference --compare_gt viz)")
     args = ap.parse_args()
 
     from tip_tpu import constants as cst
@@ -57,15 +67,49 @@ def main():
     cfg = H.EvalConfig(
         runner=runner_lib.RunnerConfig(model=model_cfg, n_sbps=n_sbps,
                                        with_acc_sum=args.with_acc_sum),
-        use_full_runner=args.full_runner,
+        use_full_runner=args.full_runner, multi_sbp=args.multi_sbp,
         test_len=args.test_len, seed=args.seed)
 
     dirs = [d.replace("v0", args.tag) for d in TEST_DIRS_V0]
     files = H.collect_test_files(args.data_root, dirs,
                                  args.name_contains.split())
     print(f"{len(files)} candidate motions")
+
+    viz_hook = None
+    if args.viz_compare:
+        import jax
+        import numpy as np
+        from tip_tpu.ops import kinematics as kin
+        from tip_tpu.runtime import terrain as terrain_lib
+        from tip_tpu.viz import pybullet_viz, urdf_export
+        viewer = pybullet_viz.Viewer(urdf_export.default_urdf_path(),
+                                     n_markers=2 * n_sbps, compare_gt=True)
+        to_bullet = jax.jit(jax.vmap(kin.our_pose_to_bullet))
+
+        def viz_hook(f, gt, pred, info):
+            import jax.numpy as jnp
+            heights = (np.asarray(terrain_lib.height_field(info["terrain"]))
+                       if "terrain" in info else None)
+            gsz = (info["terrain_cfg"].grid_size if "terrain_cfg" in info
+                   else 0.1)
+            pybullet_viz.replay_compare(
+                viewer,
+                np.asarray(to_bullet(jnp.asarray(pred, jnp.float32))),
+                np.asarray(to_bullet(jnp.asarray(gt, jnp.float32))),
+                viz_locs=info.get("viz_locs"), heights=heights,
+                grid_size=gsz)
+
+    mw = None
+    if args.metrics:
+        from tip_tpu.utils.observability import MetricsWriter
+        mw = MetricsWriter(args.metrics)
+
     per_motion, means, maxima = H.evaluate(params, cfg, files,
-                                           save_trajs_path=args.save_trajs)
+                                           save_trajs_path=args.save_trajs,
+                                           viz_hook=viz_hook,
+                                           metrics_writer=mw)
+    if mw is not None:
+        mw.close()
 
     print(json.dumps({"means": means}, indent=2))
     for k, (v, f) in maxima.items():

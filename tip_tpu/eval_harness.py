@@ -37,6 +37,9 @@ METRIC_NAMES = ("angle_deg", "sip_deg", "j_pos_cm", "root_drift_2s",
 class EvalConfig:
     runner: runner_lib.RunnerConfig = runner_lib.RunnerConfig()
     use_full_runner: bool = False       # terrain-aware RTRunner equivalent
+    # SBP-conditioned IK history feedback + pelvis-terrain updates
+    # (reference RTRunner MULTI_SBP_CORRECTION, offline_testing_simple.py:163)
+    multi_sbp: bool = False
     test_len: int = 30000
     max_motions_per_cat: int = 50       # reference MAX_TEST_MOTION_PRE_CAT
     seed: int = 42
@@ -64,20 +67,26 @@ def collect_test_files(data_root: str, dirs: Sequence[str],
 
 def run_motion(params, cfg: EvalConfig, skel: kin.Skeleton,
                imu: np.ndarray, s_gt: np.ndarray):
-    """Stream one motion; returns latency-trimmed predicted trajectory."""
+    """Stream one motion; returns (latency-trimmed predicted trajectory,
+    info dict with the SBP marker track and, for the full runner, the final
+    terrain state)."""
+    info = {}
     if cfg.use_full_runner:
         fcfg = full_runner_lib.FullRunnerConfig(
-            base=cfg.runner,
+            base=cfg.runner, multi_sbp=cfg.multi_sbp,
             terrain=terrain_lib.TerrainConfig(map_bound=cst.MAP_BOUND * 2.0))
-        s_traj, c_traj, viz, _ = full_runner_lib.run_offline_full(
+        s_traj, c_traj, viz, final = full_runner_lib.run_offline_full(
             params, fcfg, skel, jnp.asarray(s_gt[0], jnp.float32),
             jnp.asarray(imu, jnp.float32))
+        info["terrain"] = final.terrain
+        info["terrain_cfg"] = fcfg.terrain
     else:
         s_traj, c_traj, viz = runner_lib.run_offline(
             params, cfg.runner, skel, jnp.asarray(s_gt[0], jnp.float32),
             jnp.asarray(imu, jnp.float32))
     trim = cfg.runner.imu_n_smooth + 2
-    return runner_lib.trim_latency(s_traj, trim)
+    info["viz_locs"] = runner_lib.trim_latency(viz, trim)
+    return runner_lib.trim_latency(s_traj, trim), info
 
 
 @jax.jit
@@ -110,13 +119,19 @@ def compute_metrics(skel: kin.Skeleton, gt_qdq: np.ndarray,
 
 def evaluate(params, cfg: EvalConfig, test_files: Sequence[str],
              skel: Optional[kin.Skeleton] = None, log=print,
-             save_trajs_path: Optional[str] = None):
+             save_trajs_path: Optional[str] = None,
+             viz_hook=None, metrics_writer=None):
     """Full harness over a list of per-motion pickles. Returns
     (per_motion list of metric dicts, means dict, maxima dict).
 
     save_trajs_path: optional pkl dump of {gt_list, ours_list, files} — the
     reference's raw-trajectory artifact (offline_testing_simple.py:414-420,
-    test-output-tmp.pkl)."""
+    test-output-tmp.pkl).
+    viz_hook: optional callable(file, gt_qdq, pred_qdq, info) invoked per
+    motion after metrics — the GT-compare viewer path (reference
+    viz_2_trajs_and_return_fk_records_with_sbp, :228-260).
+    metrics_writer: optional utils.observability.MetricsWriter; receives one
+    per-motion record and a final means/maxima record."""
     random.seed(cfg.seed)
     np.random.seed(cfg.seed)
     skel = skel or kin.amass_skeleton()
@@ -144,12 +159,16 @@ def evaluate(params, cfg: EvalConfig, test_files: Sequence[str],
         X, Y = X[:m_len], Y[:m_len].copy()
         Y[:, 2] += cfg.root_z_lift
 
-        pred = run_motion(params, cfg, skel, X, Y)
+        pred, info = run_motion(params, cfg, skel, X, Y)
         per_motion.append(compute_metrics(skel, Y, pred, cfg))
         used.append(f)
         if save_trajs_path:
             gt_list.append(Y)
             ours_list.append(np.asarray(pred))
+        if viz_hook is not None:
+            viz_hook(f, Y, np.asarray(pred), info)
+        if metrics_writer is not None:
+            metrics_writer.write(kind="motion", file=f, **per_motion[-1])
         log(f"{f}: {per_motion[-1]}")
 
     if save_trajs_path:
@@ -166,4 +185,9 @@ def evaluate(params, cfg: EvalConfig, test_files: Sequence[str],
         vals = [m[k] for m in per_motion]
         i = int(np.argmax(vals))
         maxima[k] = (float(vals[i]), used[i])
+    if metrics_writer is not None:
+        metrics_writer.write(kind="summary", n_motions=len(per_motion),
+                             means=means,
+                             maxima={k: {"value": v, "file": f}
+                                     for k, (v, f) in maxima.items()})
     return per_motion, means, maxima
