@@ -115,3 +115,19 @@ def test_stream_pool_sharded_over_mesh():
     # streams really are distributed
     shards = pool_b._carries.s_and_c_win.sharding
     assert len(shards.device_set) == 8
+
+
+def test_uniform_filter_even_window_matches_scipy():
+    """Pin the even-window convention (TODO.md): scipy uniform_filter1d with
+    even size centers with one extra sample on the LEFT; ours must match for
+    every size, not just the odd ones the product uses."""
+    from scipy.ndimage import uniform_filter1d
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(37, 4))
+    for size in (2, 4, 6, 10, 11):
+        ref = uniform_filter1d(x, size=size, axis=0, mode="nearest")
+        got = np.asarray(imu_ops.uniform_filter1d_nearest(
+            jnp.asarray(x), size, axis=0))
+        np.testing.assert_allclose(got, ref, atol=1e-12,
+                                   err_msg=f"size={size}")

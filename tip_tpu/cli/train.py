@@ -38,6 +38,9 @@ def main():
                     help="tensor-parallel mesh axis size")
     ap.add_argument("--warm_start", default=None,
                     help="orbax ckpt dir or reference .pt: load weights only")
+    ap.add_argument("--metrics", default=None,
+                    help="structured jsonl training log (default: "
+                         "<save_path>/metrics.jsonl)")
     args = ap.parse_args()
 
     import jax
@@ -69,8 +72,10 @@ def main():
         mesh = mesh_lib.make_mesh(n_model=args.n_model_shards)
         print("mesh:", dict(zip(mesh.axis_names, mesh.devices.shape)))
 
+    import os
+    metrics = args.metrics or os.path.join(args.save_path, "metrics.jsonl")
     train_lib.train_loop(cfg, ds, mesh=mesh, ckpt_dir=args.save_path,
-                         warm_start=args.warm_start)
+                         warm_start=args.warm_start, metrics_path=metrics)
 
 
 if __name__ == "__main__":

@@ -207,7 +207,8 @@ def restore_checkpoint(ckpt_dir: str, cfg: TrainConfig,
 
 def train_loop(cfg: TrainConfig, dataset, *, mesh=None, ckpt_dir=None,
                log_fn=print, max_epochs: Optional[int] = None,
-               warm_start: Optional[str] = None):
+               warm_start: Optional[str] = None,
+               metrics_path: Optional[str] = None):
     """Full training driver (reference train_model.py:242-244 epoch loop).
 
     dataset: tip_tpu.train.data.PackedDataset. Returns the final TrainState.
@@ -215,8 +216,22 @@ def train_loop(cfg: TrainConfig, dataset, *, mesh=None, ckpt_dir=None,
     only, like the reference's --warm_start (train_model.py:109-111); unlike
     it, resuming *with* optimizer state is also available via
     restore_checkpoint.
+    metrics_path: jsonl file receiving every structured training record
+    (utils.observability.MetricsWriter) — the reference logs by piping
+    stdout prints to a file (README.md:103); here the metrics are
+    structured and machine-readable.
     """
     from tip_tpu.train import data as data_lib
+
+    writer = None
+    if metrics_path is not None:
+        from tip_tpu.utils.observability import MetricsWriter
+        writer = MetricsWriter(metrics_path)
+        console_log = log_fn
+
+        def log_fn(record):
+            writer.write(**record)
+            console_log(record)
 
     state = init_state(cfg)
     if warm_start:
@@ -265,4 +280,6 @@ def train_loop(cfg: TrainConfig, dataset, *, mesh=None, ckpt_dir=None,
                 else None})
     if ckpt_dir:
         save_checkpoint(ckpt_dir, state, epochs)
+    if writer is not None:
+        writer.close()
     return state
