@@ -1,67 +1,102 @@
 """Headline benchmark: single-stream per-frame inference latency.
 
-Measures the full streaming runner step (IMU smoothing + features + flagship
-model forward + FK + SBP root correction) end to end per 60 Hz frame,
-including the host->device transfer of the IMU frame and the device->host
-read-back of the predicted pose — i.e. what a live demo loop pays.
+Measures the FULL streaming runner step — IMU smoothing + features +
+flagship model forward + FK + SBP root correction + terrain height-map
+updates + establishing ticks + SBP-conditioned two-joint-IK history
+feedback (multi_sbp on) — end to end per 60 Hz frame. This is the product
+configuration of the paper's terrain demo (reference RTRunner.step,
+real_time_runner.py:384-500, with MULTI_SBP_CORRECTION).
 
 Baseline: the reference runs this loop at 60 Hz on a desktop GPU, i.e. a
 16.7 ms/frame budget (reference live_demo_new.py:29,307; BASELINE.md).
 Target (BASELINE.json): < 1 ms p50.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``--mode minimal`` times the flat-ground minimal runner instead
+(reference RTRunnerMin); both numbers are recorded in PERF.md.
 """
 
+import argparse
 import json
 import time
 
 import numpy as np
 
 
+def make_stream(N=600, seed=0):
+    from scipy.spatial.transform import Rotation
+    rng = np.random.default_rng(seed)
+    frames = []
+    base = Rotation.from_rotvec(rng.normal(size=(6, 3)) * 0.3)
+    for _ in range(N):
+        base = Rotation.from_rotvec(rng.normal(size=(6, 3)) * 0.02) * base
+        frames.append(np.concatenate([
+            base.as_matrix().reshape(-1),
+            rng.normal(size=18) * 0.5]).astype(np.float32))
+    return np.stack(frames)
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="full", choices=["full", "minimal"])
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
     from tip_tpu.models import tip_model as M
     from tip_tpu.ops import kinematics as kin
+    from tip_tpu.runtime import full_runner as FR
     from tip_tpu.runtime import runner as R
+    from tip_tpu.runtime import terrain as terrain_lib
 
     # flagship model config; fused Pallas RNN head (see ops/pallas_kernels.py)
-    cfg = R.RunnerConfig(model=M.ModelConfig(rnn_impl="pallas"))
-    params = M.init_params(jax.random.PRNGKey(0), cfg.model)
+    base_cfg = R.RunnerConfig(model=M.ModelConfig(rnn_impl="pallas"))
+    params = M.init_params(jax.random.PRNGKey(0), base_cfg.model)
     skel = kin.amass_skeleton()
 
     s_init = np.zeros(114, np.float32)
     s_init[2] = 0.9
     s_init[3:6] = [1.20919958, 1.20919958, 1.20919958]
 
-    rng = np.random.default_rng(0)
-    frames = []
-    from scipy.spatial.transform import Rotation
-    base = Rotation.from_rotvec(rng.normal(size=(6, 3)) * 0.3)
     N = 600
-    for _ in range(N):
-        base = Rotation.from_rotvec(rng.normal(size=(6, 3)) * 0.02) * base
-        frames.append(np.concatenate([
-            base.as_matrix().reshape(-1),
-            rng.normal(size=18) * 0.5]).astype(np.float32))
-    stream = jnp.asarray(np.stack(frames))
+    stream = jnp.asarray(make_stream(N))
 
     # On-device autoregressive stream: each frame is processed strictly
     # sequentially (frame t+1 depends on frame t's outputs). Amortising over
     # N frames removes this environment's ~30 ms host<->TPU tunnel RTT per
     # dispatch, which a local deployment does not pay; the per-frame device
     # compute is what the 16.7 ms reference budget is about.
-    @jax.jit
-    def run(params, stream):
-        carry = R.runner_init(cfg, skel, jnp.asarray(s_init))
+    if args.mode == "full":
+        fcfg = FR.FullRunnerConfig(base=base_cfg,
+                                   terrain=terrain_lib.TerrainConfig(),
+                                   multi_sbp=True)
 
-        def sstep(c, x):
-            c, out = R.runner_step(params, c, x, cfg, skel)
-            return c, out["qdq"]
+        @jax.jit
+        def run(params, stream):
+            carry = FR.full_runner_init(fcfg, skel, jnp.asarray(s_init))
 
-        _, qdq = jax.lax.scan(sstep, carry, stream)
-        return qdq
+            def sstep(c, x):
+                c, out = FR.full_runner_step(params, c, x, fcfg, skel)
+                return c, out["qdq"]
+
+            _, qdq = jax.lax.scan(sstep, carry, stream)
+            return qdq
+
+        metric = "single_stream_frame_latency_full_runner_on_device"
+    else:
+        @jax.jit
+        def run(params, stream):
+            carry = R.runner_init(base_cfg, skel, jnp.asarray(s_init))
+
+            def sstep(c, x):
+                c, out = R.runner_step(params, c, x, base_cfg, skel)
+                return c, out["qdq"]
+
+            _, qdq = jax.lax.scan(sstep, carry, stream)
+            return qdq
+
+        metric = "single_stream_frame_latency_on_device"
 
     # compile + warmup
     jax.block_until_ready(run(params, stream))
@@ -76,7 +111,7 @@ def main():
     per_frame_ms = float(min(times) / N * 1e3)
     baseline_ms = 1000.0 / 60.0                  # reference real-time budget
     print(json.dumps({
-        "metric": "single_stream_frame_latency_on_device",
+        "metric": metric,
         "value": round(per_frame_ms, 4),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / per_frame_ms, 2),

@@ -1,8 +1,14 @@
 """Secondary benchmark: batched multi-stream throughput (IMU frames/s/chip).
 
 Target (BASELINE.json): >= 10,000 frames/s/chip. Runs B concurrent streams
-through the full runner step (vmap) for T frames (lax.scan), all on device.
-Prints one JSON line per batch size.
+through the runner step (vmap) for T frames (lax.scan), all on device.
+Covers the serving modes (runtime/streaming_cache.py): "recompute" (the
+reference-parity windowed forward), "kv_cache" (per-layer K/V rings, exact
+until the window slides), and "kv_cache_rnn_carry" (carried RNN hidden,
+one RNN step/frame). ``chunk`` applies lax.map VMEM blocking for pools
+beyond the ~256-512 stream sweet spot.
+
+Prints one JSON line per configuration.
 """
 
 import json
@@ -15,6 +21,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from bench import make_stream
     from tip_tpu.models import tip_model as M
     from tip_tpu.ops import kinematics as kin
     from tip_tpu.runtime import runner as R
@@ -25,38 +32,48 @@ def main():
     s_init[2] = 0.9
     s_init[3:6] = [1.20919958, 1.20919958, 1.20919958]
 
-    rng = np.random.default_rng(0)
-    from scipy.spatial.transform import Rotation
-
     T = 120
-    base = Rotation.from_rotvec(rng.normal(size=(6, 3)) * 0.3)
-    frames = []
-    for _ in range(T):
-        base = Rotation.from_rotvec(rng.normal(size=(6, 3)) * 0.02) * base
-        frames.append(np.concatenate([base.as_matrix().reshape(-1),
-                                      rng.normal(size=18) * 0.5]))
-    stream = np.stack(frames).astype(np.float32)
+    stream = make_stream(T)
 
-    # batched serving uses the lax.scan RNN (the Pallas kernel wins on
-    # single-stream latency but serialises under vmap); bf16 compute adds ~8%
-    configs = [(64, None), (256, None), (512, None), (256, "bfloat16")]
-    for B, compute_dtype in configs:
-        cfg = R.RunnerConfig(model=M.ModelConfig(compute_dtype=compute_dtype))
+    # (batch, compute_dtype, serving_mode, chunk)
+    configs = [
+        (256, None, "recompute", None),
+        (256, "bfloat16", "recompute", None),
+        (512, "bfloat16", "recompute", None),
+        (256, "bfloat16", "kv_cache", None),
+        (256, "bfloat16", "kv_cache_rnn_carry", None),
+        (512, "bfloat16", "kv_cache_rnn_carry", None),
+        (1024, "bfloat16", "kv_cache_rnn_carry", 256),
+        (2048, "bfloat16", "kv_cache_rnn_carry", 256),
+    ]
+    for B, compute_dtype, mode, chunk in configs:
+        cfg = R.RunnerConfig(model=M.ModelConfig(compute_dtype=compute_dtype),
+                             serving_mode=mode)
         params = M.init_params(jax.random.PRNGKey(0), cfg.model)
         streams = jnp.asarray(np.broadcast_to(stream, (B, T, 72))
                               .transpose(1, 0, 2).copy())    # (T, B, 72)
 
         @jax.jit
-        def run(params, streams):
+        def run(params, streams, cfg=cfg, B=B, chunk=chunk):
             carry0 = R.runner_init(cfg, skel, jnp.asarray(s_init))
             carries = jax.tree_util.tree_map(
                 lambda x: jnp.broadcast_to(x, (B,) + x.shape), carry0)
+            vstep = jax.vmap(
+                lambda c, x: R.runner_step(params, c, x, cfg, skel))
 
             def sstep(cs, x_b):
-                cs, out = jax.vmap(
-                    lambda c, x: R.runner_step(params, c, x, cfg, skel)
-                )(cs, x_b)
-                return cs, out["qdq"][:, :3]
+                if chunk and chunk < B:
+                    csc = jax.tree_util.tree_map(
+                        lambda a: a.reshape((B // chunk, chunk) + a.shape[1:]),
+                        cs)
+                    xc = x_b.reshape(B // chunk, chunk, 72)
+                    cs2, out = jax.lax.map(
+                        lambda args: vstep(args[0], args[1]), (csc, xc))
+                    cs2 = jax.tree_util.tree_map(
+                        lambda a: a.reshape((B,) + a.shape[2:]), cs2)
+                    return cs2, out["qdq"].reshape(B, -1)[:, :3]
+                cs2, out = vstep(cs, x_b)
+                return cs2, out["qdq"][:, :3]
 
             _, o = jax.lax.scan(sstep, carries, streams)
             return o
@@ -72,6 +89,8 @@ def main():
             "metric": "batched_throughput",
             "batch": B,
             "compute_dtype": compute_dtype or "float32",
+            "serving_mode": mode,
+            "chunk": chunk,
             "value": round(fps, 0),
             "unit": "frames/s/chip",
             "vs_target_10k": round(fps / 1e4, 2),

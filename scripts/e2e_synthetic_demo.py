@@ -47,6 +47,11 @@ def main():
     ap.add_argument("--n_train", type=int, default=16)
     ap.add_argument("--n_test", type=int, default=4)
     ap.add_argument("--out", default="/tmp/tip_e2e")
+    ap.add_argument("--serving_mode", default="recompute",
+                    choices=["recompute", "kv_cache", "kv_cache_rnn_carry"],
+                    help="evaluate the trained model with this runner "
+                         "serving mode (the kv-cache divergence study on a "
+                         "TRAINED model, PERF.md)")
     args = ap.parse_args()
 
     import jax
@@ -95,8 +100,9 @@ def main():
         log_fn=lambda r: print(json.dumps(r)))
     print(f"trained {args.epochs} epochs in {time.time()-t0:.1f}s")
 
-    eval_cfg = H.EvalConfig(runner=runner_lib.RunnerConfig(),
-                            test_len=400, max_motions_per_cat=args.n_test)
+    eval_cfg = H.EvalConfig(
+        runner=runner_lib.RunnerConfig(serving_mode=args.serving_mode),
+        test_len=400, max_motions_per_cat=args.n_test)
     files = [os.path.join(test_dir, f) for f in sorted(os.listdir(test_dir))]
 
     _, means_untrained, _ = H.evaluate(untrained, eval_cfg, files,

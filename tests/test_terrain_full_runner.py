@@ -179,3 +179,46 @@ def test_full_runner_gt_playback(setup):
         s_gt=jnp.asarray(s_gt), c_gt=jnp.asarray(c_gt))
     np.testing.assert_allclose(np.asarray(s_traj)[1:], s_gt[:-1], atol=1e-9)
     np.testing.assert_allclose(np.asarray(c_traj)[1:], c_gt[:-1], atol=1e-9)
+
+
+def test_full_runner_long_stream_soak(setup):
+    """Scaled-down soak (scripts/soak.py runs the 36k-frame version on TPU):
+    a long stream through the full runner with multi_sbp on keeps outputs
+    finite, the carry shapes fixed, and the terrain region table below
+    capacity (no overflow of the fixed-capacity divergence)."""
+    params, skel = setup
+    cfg = FR.FullRunnerConfig(
+        base=TR.CFG,
+        terrain=terrain_lib.TerrainConfig(map_bound=3.0, max_regions=16),
+        multi_sbp=True)
+    s_init = TR.make_s_init()
+    carry = FR.full_runner_init(cfg, skel, jnp.asarray(s_init),
+                                dtype=jnp.float64)
+
+    @jax.jit
+    def run_chunk(carry, chunk):
+        def sstep(c, x):
+            c, out = FR.full_runner_step(params, c, x, cfg, skel)
+            return c, out["qdq"][:3]
+        return jax.lax.scan(sstep, carry, chunk)
+
+    shapes0 = jax.tree_util.tree_map(lambda x: x.shape, carry)
+    roots = []
+    for i in range(4):
+        chunk = jnp.asarray(TR.make_stream(500))   # module RNG: fresh chunk
+        carry, r = run_chunk(carry, chunk)
+        roots.append(np.asarray(r))
+    roots = np.concatenate(roots)
+
+    assert int(carry.base.t) == 2000
+    assert np.isfinite(roots).all()
+    assert np.isfinite(np.asarray(carry.base.last_s)).all()
+    # random-weight + random-IMU input is adversarial for the clusterer: it
+    # saturates the fixed-capacity region table, which must degrade
+    # gracefully (cursor clamps, last slot reused, everything stays finite)
+    # rather than overflow
+    assert int(carry.terrain.n_regions) <= cfg.terrain.max_regions
+    assert np.isfinite(np.asarray(carry.terrain.region_height)).all()
+    # carry is a fixed pytree: no buffer grew
+    shapes1 = jax.tree_util.tree_map(lambda x: x.shape, carry)
+    assert shapes0 == shapes1
