@@ -222,3 +222,60 @@ def test_full_runner_long_stream_soak(setup):
     # carry is a fixed pytree: no buffer grew
     shapes1 = jax.tree_util.tree_map(lambda x: x.shape, carry)
     assert shapes0 == shapes1
+
+
+def test_batched_ik_feedback_matches_sequential_transcription():
+    """The vmapped both-legs IK feedback equals the straightforward one-side-
+    at-a-time transcription of the reference
+    (correct_joint_q_for_history_feedback, real_time_runner.py:334-382)."""
+    from tip_tpu.chars.amass import IK_CHAIN_BULLET, IK_CHAIN_NIMBLE
+    from tip_tpu.ops import ik as ik_ops
+    from tip_tpu.ops import rotations as rot
+
+    def one_side(s_hist, pq_jf, raw_residues, ik_deltas, side, dt):
+        link_name = "lankle" if side == 0 else "rankle"
+        i_p, i_a, i_b, i_c = IK_CHAIN_BULLET[link_name]
+        j_a, j_b, j_c = IK_CHAIN_NIMBLE[link_name]
+        root_res = raw_residues[4]
+        sbp_res = raw_residues[side]
+        both = (~jnp.any(jnp.isnan(sbp_res))) & (~jnp.any(jnp.isnan(root_res)))
+        delta = ik_deltas[side] + jnp.where(
+            both,
+            (jnp.nan_to_num(sbp_res) - jnp.nan_to_num(root_res)) * dt, 0.0)
+        corr = -delta
+        n = jnp.linalg.norm(corr)
+        overflow = n > 0.5
+        apply_ik = both & (~overflow) & (n > 0.05)
+        a_q, b_q, c_q = ik_ops.leg_two_joint_ik_keep_foot(
+            pq_jf[i_p + 1], pq_jf[i_a + 1], pq_jf[i_b + 1], pq_jf[i_c + 1],
+            corr)
+        a_aa, b_aa, c_aa = (rot.q_to_aa(q) for q in (a_q, b_q, c_q))
+
+        def put(s, j, aa):
+            sl = s[3 + j * 3: 6 + j * 3]
+            return s.at[3 + j * 3: 6 + j * 3].set(
+                jnp.where(apply_ik, aa, sl))
+
+        s_hist = put(put(put(s_hist, j_a, a_aa), j_b, b_aa), j_c, c_aa)
+        new_delta = jnp.where(both & ~overflow, delta, 0.0)
+        return s_hist, ik_deltas.at[side].set(new_delta)
+
+    rng = np.random.default_rng(3)
+    for trial in range(40):
+        s = jnp.asarray(rng.normal(size=114))
+        pq = rng.normal(size=(20, 7))
+        pq[:, 3:] /= np.linalg.norm(pq[:, 3:], axis=1, keepdims=True)
+        pq = jnp.asarray(pq)
+        rr = rng.normal(size=(5, 3)) * 0.1
+        if trial % 3 == 0:
+            rr[0] = np.nan                     # inactive left SBP
+        if trial % 5 == 0:
+            rr[4] = np.nan                     # inactive root SBP
+        rr = jnp.asarray(rr)
+        dl = jnp.asarray(rng.normal(size=(2, 3))
+                         * (3.0 if trial % 7 == 0 else 0.1))  # overflow path
+        sa, da = one_side(s, pq, rr, dl, 0, 1 / 60)
+        sa, da = one_side(sa, pq, rr, da, 1, 1 / 60)
+        sb, db = FR._ik_history_feedback(None, s, pq, rr, dl, 1 / 60)
+        np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(da), np.asarray(db), atol=1e-12)

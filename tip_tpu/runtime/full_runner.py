@@ -81,37 +81,49 @@ def _update_ticks(ticks, c_locs, c_locs_prev):
     return t
 
 
+# static leg-chain index tables for the batched both-sides IK feedback
+_IK_LEG_LINKS = np.array([IK_CHAIN_BULLET["lankle"],
+                          IK_CHAIN_BULLET["rankle"]]) + 1      # (2,4) pq rows
+_IK_LEG_JOINTS = np.array([IK_CHAIN_NIMBLE["lankle"],
+                           IK_CHAIN_NIMBLE["rankle"]])         # (2,3)
+# state channels rewritten: 3 + j*3 + {0,1,2} per (side, joint)
+_IK_WRITE_IDX = (3 + _IK_LEG_JOINTS * 3)[:, :, None] + np.arange(3)  # (2,3,3)
+
+
 def _ik_history_feedback(cfg: FullRunnerConfig, s_hist, pq_jf, raw_residues,
-                         ik_deltas, side: int, dt):
-    """Two-joint leg IK writing into the history state (reference
-    correct_joint_q_for_history_feedback, real_time_runner.py:334-382).
-    side: 0 = lankle, 1 = rankle."""
-    link_name = "lankle" if side == 0 else "rankle"
-    i_p, i_a, i_b, i_c = IK_CHAIN_BULLET[link_name]
-    j_a, j_b, j_c = IK_CHAIN_NIMBLE[link_name]
-
+                         ik_deltas, dt):
+    """Two-joint leg IK for BOTH ankles writing into the history state
+    (reference correct_joint_q_for_history_feedback,
+    real_time_runner.py:334-382). The reference corrects the legs one after
+    the other, but the computations are independent (disjoint joints and
+    delta rows), so both run through one vmapped IK — single-stream frame
+    latency is dispatch-bound and this halves the IK op count."""
     root_res = raw_residues[4]
-    sbp_res = raw_residues[side]
-    both = (~jnp.any(jnp.isnan(sbp_res))) & (~jnp.any(jnp.isnan(root_res)))
+    sbp_res = raw_residues[:2]                                  # (2, 3)
+    both = (~jnp.any(jnp.isnan(sbp_res), axis=1)) \
+        & (~jnp.any(jnp.isnan(root_res)))
 
-    delta = ik_deltas[side] + jnp.where(
-        both, (jnp.nan_to_num(sbp_res) - jnp.nan_to_num(root_res)) * dt, 0.0)
+    delta = ik_deltas + jnp.where(
+        both[:, None],
+        (jnp.nan_to_num(sbp_res) - jnp.nan_to_num(root_res)[None, :]) * dt,
+        0.0)
     corr = -delta
-    n = jnp.linalg.norm(corr)
+    n = jnp.linalg.norm(corr, axis=1)
     overflow = n > 0.5
     apply_ik = both & (~overflow) & (n > 0.05)
 
-    a_q, b_q, c_q = ik_ops.leg_two_joint_ik_keep_foot(
-        pq_jf[i_p + 1], pq_jf[i_a + 1], pq_jf[i_b + 1], pq_jf[i_c + 1], corr)
-    a_aa, b_aa, c_aa = (rot.q_to_aa(q) for q in (a_q, b_q, c_q))
+    quads = pq_jf[jnp.asarray(_IK_LEG_LINKS)]                   # (2, 4, 7)
+    a_q, b_q, c_q = jax.vmap(ik_ops.leg_two_joint_ik_keep_foot)(
+        quads[:, 0], quads[:, 1], quads[:, 2], quads[:, 3], corr)
+    aa = jax.vmap(rot.q_to_aa)(
+        jnp.stack([a_q, b_q, c_q], axis=1).reshape(6, 4)).reshape(2, 3, 3)
 
-    def put(s, j, aa):
-        sl = s[3 + j * 3: 6 + j * 3]
-        return s.at[3 + j * 3: 6 + j * 3].set(jnp.where(apply_ik, aa, sl))
-
-    s_hist = put(put(put(s_hist, j_a, a_aa), j_b, b_aa), j_c, c_aa)
-    new_delta = jnp.where(both & ~overflow, delta, 0.0)
-    return s_hist, ik_deltas.at[side].set(new_delta)
+    idx = jnp.asarray(_IK_WRITE_IDX.reshape(-1))
+    old = s_hist[idx].reshape(2, 3, 3)
+    vals = jnp.where(apply_ik[:, None, None], aa, old)
+    s_hist = s_hist.at[idx].set(vals.reshape(-1))
+    new_deltas = jnp.where((both & ~overflow)[:, None], delta, 0.0)
+    return s_hist, new_deltas
 
 
 def full_runner_step(params, carry: FullCarry, cur_imu,
@@ -188,9 +200,7 @@ def full_runner_step(params, carry: FullCarry, cur_imu,
     ik_deltas = carry.ik_deltas
     if cfg.multi_sbp:
         s_hist, ik_deltas = _ik_history_feedback(
-            cfg, s_hist, pq_g_jf, corr.raw_residues, ik_deltas, 0, bcfg.dt)
-        s_hist, ik_deltas = _ik_history_feedback(
-            cfg, s_hist, pq_g_jf, corr.raw_residues, ik_deltas, 1, bcfg.dt)
+            cfg, s_hist, pq_g_jf, corr.raw_residues, ik_deltas, bcfg.dt)
 
     # ---- apply root correction (ref :489-494; playback skips it) ---------------
     if not cfg.playback_gt:
