@@ -39,6 +39,16 @@ def make_stream(N=600, seed=0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="full", choices=["full", "minimal"])
+    ap.add_argument("--serving_mode", default="recompute",
+                    choices=["recompute", "kv_cache", "kv_cache_rnn_carry"],
+                    help="opt-in KV-cached serving (semantics documented in "
+                         "PERF.md); the headline default is the "
+                         "reference-parity recompute path")
+    ap.add_argument("--forward_impl", default=None,
+                    choices=["xla", "fused"],
+                    help="fused = whole-model/whole-cached-step Pallas "
+                         "kernel (default: fused for kv modes, xla+pallas-"
+                         "rnn for recompute)")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +61,13 @@ def main():
     from tip_tpu.runtime import terrain as terrain_lib
 
     # flagship model config; fused Pallas RNN head (see ops/pallas_kernels.py)
-    base_cfg = R.RunnerConfig(model=M.ModelConfig(rnn_impl="pallas"))
+    if args.serving_mode == "recompute":
+        fwd = args.forward_impl or "xla"
+        mcfg = M.ModelConfig(rnn_impl="pallas", forward_impl=fwd)
+    else:
+        fwd = args.forward_impl or "fused"
+        mcfg = M.ModelConfig(forward_impl=fwd)
+    base_cfg = R.RunnerConfig(model=mcfg, serving_mode=args.serving_mode)
     params = M.init_params(jax.random.PRNGKey(0), base_cfg.model)
     skel = kin.amass_skeleton()
 
@@ -84,6 +100,8 @@ def main():
             return qdq
 
         metric = "single_stream_frame_latency_full_runner_on_device"
+        if args.serving_mode != "recompute":
+            metric += "_" + args.serving_mode
     else:
         @jax.jit
         def run(params, stream):
@@ -97,6 +115,8 @@ def main():
             return qdq
 
         metric = "single_stream_frame_latency_on_device"
+        if args.serving_mode != "recompute":
+            metric += "_" + args.serving_mode
 
     # compile + warmup
     jax.block_until_ready(run(params, stream))

@@ -104,3 +104,101 @@ def test_kv_cache_vmaps_for_batched_serving(setup):
     for b in range(B):
         solo = _run(params, skel, streams[b], s_init, "kv_cache")
         np.testing.assert_allclose(outs[:-1, b], solo[1:T], atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# fused Pallas cached step (interpret mode on CPU)
+# ---------------------------------------------------------------------------
+
+SMALL_F32 = M.ModelConfig(tf_in_dim=32, tf_hid_size=64, n_heads=4,
+                          tf_layers=2, rnn_hid_size=24,
+                          compute_dtype="float32")
+
+
+def _token(rng, cfg):
+    return jnp.asarray(
+        rng.normal(size=(cfg.input_dim,)).astype(np.float32))
+
+
+@pytest.mark.parametrize("rnn_carry", [False, True])
+def test_fused_cached_step_matches_unfused(rnn_carry):
+    from tip_tpu.ops import fused_forward as FF
+    from tip_tpu.runtime import streaming_cache as SC
+
+    cfg = SMALL_F32
+    W = 8
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.float32),
+        M.init_params(jax.random.PRNGKey(0), cfg))
+    packed = tuple(FF.pack_weights(params, cfg, dtype=jnp.float32))
+    rng = np.random.default_rng(0)
+
+    cache_a = SC.cache_init(cfg, W)
+    cache_b = SC.cache_init(cfg, W)
+    # stream past the slide point (k up to 2*W) to cover circular wrap
+    for k in range(2 * W):
+        x = _token(rng, cfg)
+        cache_a, y_a = SC.cached_forward_step(params, cache_a, x,
+                                              jnp.asarray(k, jnp.int32),
+                                              cfg, rnn_carry=rnn_carry)
+        cache_b, y_b = SC.fused_cached_forward_step(
+            packed, cache_b, x, jnp.asarray(k, jnp.int32),
+            jnp.asarray(True), cfg, rnn_carry=rnn_carry, interpret=True)
+        np.testing.assert_allclose(np.asarray(y_b), np.asarray(y_a),
+                                   atol=1e-4, err_msg=f"k={k}")
+        for name in ("k", "v", "enc", "h"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(cache_b, name)),
+                np.asarray(getattr(cache_a, name)), atol=1e-4,
+                err_msg=f"{name} k={k}")
+
+
+def test_fused_cached_step_commit_flag():
+    """commit=False must leave every ring (and the carried hidden)
+    untouched — the warmup path needs no copy-on-select."""
+    from tip_tpu.ops import fused_forward as FF
+    from tip_tpu.runtime import streaming_cache as SC
+
+    cfg = SMALL_F32
+    W = 8
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.float32),
+        M.init_params(jax.random.PRNGKey(1), cfg))
+    packed = tuple(FF.pack_weights(params, cfg, dtype=jnp.float32))
+    rng = np.random.default_rng(1)
+
+    cache = SC.cache_init(cfg, W)
+    cache, _ = SC.fused_cached_forward_step(
+        packed, cache, _token(rng, cfg), jnp.asarray(0, jnp.int32),
+        jnp.asarray(True), cfg, rnn_carry=True, interpret=True)
+    before = jax.tree_util.tree_map(np.asarray, cache)
+    cache2, _ = SC.fused_cached_forward_step(
+        packed, cache, _token(rng, cfg), jnp.asarray(1, jnp.int32),
+        jnp.asarray(False), cfg, rnn_carry=True, interpret=True)
+    for name in ("k", "v", "enc", "h"):
+        np.testing.assert_array_equal(np.asarray(getattr(cache2, name)),
+                                      getattr(before, name))
+
+
+def test_runner_fused_kv_cache_end_to_end(setup):
+    """serving_mode + forward_impl="fused" compose: the runner streams
+    through the fused cached kernel and tracks the XLA cached path."""
+    _, skel64 = setup
+    skel = kin.amass_skeleton()          # f32 skeleton for the f32 path
+    cfg_ref = R.RunnerConfig(model=SMALL_F32, serving_mode="kv_cache")
+    cfg_fused = R.RunnerConfig(
+        model=M.ModelConfig(tf_in_dim=32, tf_hid_size=64, n_heads=4,
+                            tf_layers=2, rnn_hid_size=24,
+                            compute_dtype="float32", forward_impl="fused"),
+        serving_mode="kv_cache")
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.float32),
+        M.init_params(jax.random.PRNGKey(0), SMALL_F32))
+    T = 14
+    imu = jnp.asarray(TR.make_stream(T).astype(np.float32))
+    s_init = jnp.asarray(TR.make_s_init().astype(np.float32))
+    s_ref, _, _ = R.run_offline(params, cfg_ref, skel, s_init, imu)
+    s_fused, _, _ = R.run_offline(params, cfg_fused, skel, s_init, imu)
+    assert np.isfinite(np.asarray(s_fused)).all()
+    np.testing.assert_allclose(np.asarray(s_fused), np.asarray(s_ref),
+                               atol=2e-3)

@@ -215,13 +215,26 @@ def sense_and_predict(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
         if cfg.with_acc_sum:
             parts.append(runsum / cst.ACC_SUM_DOWN_SCALE)
         x_token = jnp.concatenate(parts + [hist_t])
-        new_cache, y_t = SC.cached_forward_step(
-            params, carry.cache, x_token, carry.k, cfg.model,
-            rnn_carry=cfg.serving_mode == "kv_cache_rnn_carry")
-        # only commit the push when a smoothed frame actually arrived
-        cache = jax.tree_util.tree_map(
-            lambda n, o: jnp.where(have_smoothed, n, o),
-            new_cache, carry.cache)
+        rnn_carry = cfg.serving_mode == "kv_cache_rnn_carry"
+        if cfg.model.forward_impl == "fused":
+            # whole cached step as ONE Pallas op (in-place ring updates;
+            # the commit flag replaces the warmup copy-on-select)
+            from tip_tpu.ops import fused_forward as FF
+            pack_dtype = carry.cache.enc.dtype
+            packed = tuple(FF.pack_weights(params, cfg.model,
+                                           dtype=pack_dtype))
+            cache, y_t = SC.fused_cached_forward_step(
+                packed, carry.cache, x_token, carry.k, have_smoothed,
+                cfg.model, rnn_carry=rnn_carry,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            new_cache, y_t = SC.cached_forward_step(
+                params, carry.cache, x_token, carry.k, cfg.model,
+                rnn_carry=rnn_carry)
+            # only commit the push when a smoothed frame actually arrived
+            cache = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(have_smoothed, n, o),
+                new_cache, carry.cache)
         y_t = y_t.astype(dtype)
     elif cfg.model.forward_impl == "fused":
         # whole-model Pallas kernel, single-output fast path

@@ -159,3 +159,173 @@ def cached_forward_step(params, cache: KVCache, x_token, k_prev,
         h=h_carry.astype(dtype),
     )
     return new_cache, y.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas kernel: the ENTIRE cached step as one op
+# ---------------------------------------------------------------------------
+# Single-stream frame latency is dispatch-bound (PERF.md): the XLA cached
+# step issues ~100 tiny ops. This kernel runs the whole thing — in-proj,
+# 4 cached-attention layers with in-place ring updates, RNN head, out-proj —
+# as ONE VMEM-resident op. Ring buffers are updated in place via
+# input_output_aliases; a `commit` flag skips the writes during warmup so
+# the caller needs no copy-on-select.
+
+import functools
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fused_cached_kernel(scalars_ref, x_ref, h_in_ref, kc_in, vc_in, enc_in,
+                         *refs, cfg, t_len: int, rnn_carry: bool):
+    import math
+
+    # kernel arg order: in_refs..., out_refs..., scratch_refs...
+    if rnn_carry:
+        xin_scratch = None
+        y_ref, h_ref, kc_ref, vc_ref, enc_ref = refs[-5:]
+        ws = refs[:-5]
+    else:
+        xin_scratch = refs[-1]
+        y_ref, h_ref, kc_ref, vc_ref, enc_ref = refs[-6:-1]
+        ws = refs[:-6]
+    W = t_len
+    d, h, hd = cfg.tf_in_dim, cfg.n_heads, cfg.head_dim
+
+    k_prev = scalars_ref[0]
+    commit = scalars_ref[1]
+    w32 = jnp.int32(W)                     # keep index math in int32 (x64!)
+    slot = jax.lax.rem(k_prev, w32)
+    n_valid = jnp.minimum(k_prev + jnp.int32(1), w32)
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    i = iter(range(len(ws)))
+    w_in, b_in = ws[next(i)], ws[next(i)]
+    cd = w_in.dtype
+    x = dot(x_ref[:], w_in[:]) + b_in[:].astype(jnp.float32)   # (1, d) f32
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    mask = jnp.where(rows >= n_valid, jnp.asarray(-1e30, jnp.float32), 0.0)
+    scale = 1.0 / math.sqrt(hd)
+
+    def _ln(v, s, b, eps=1e-5):
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.mean((v - mu) ** 2, axis=-1, keepdims=True)
+        return (v - mu) * jax.lax.rsqrt(var + eps) * s + b
+
+    for li in range(cfg.tf_layers):
+        w_qkv, b_qkv = ws[next(i)], ws[next(i)]
+        w_o, b_o = ws[next(i)], ws[next(i)]
+        w_f1, b_f1 = ws[next(i)], ws[next(i)]
+        w_f2, b_f2 = ws[next(i)], ws[next(i)]
+        ln1_s, ln1_b = ws[next(i)], ws[next(i)]
+        ln2_s, ln2_b = ws[next(i)], ws[next(i)]
+
+        qkv = dot(x.astype(cd), w_qkv[:]) + b_qkv[:].astype(jnp.float32)
+        q, kt, vt = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
+
+        @pl.when(commit != 0)
+        def _():
+            kc_ref[li, pl.ds(slot, 1), :] = kt.astype(kc_ref.dtype)
+            vc_ref[li, pl.ds(slot, 1), :] = vt.astype(vc_ref.dtype)
+
+        kr = kc_ref[li]                                   # (W, d)
+        vr = vc_ref[li]
+        outs = []
+        for hh in range(h):
+            sl = slice(hh * hd, (hh + 1) * hd)
+            logits = dot(kr[:, sl], q[:, sl].T.astype(kr.dtype)) * scale
+            logits = logits + mask                        # (W, 1)
+            w_att = jax.nn.softmax(logits, axis=0)
+            outs.append(dot(w_att.T.astype(cd), vr[:, sl].astype(cd)))
+        att = jnp.concatenate(outs, axis=-1)              # (1, d)
+        a = dot(att.astype(cd), w_o[:]) + b_o[:].astype(jnp.float32)
+        x = _ln(x + a, ln1_s[:], ln1_b[:])
+        f = jnp.maximum(dot(x.astype(cd), w_f1[:])
+                        + b_f1[:].astype(jnp.float32), 0.0)
+        f = dot(f.astype(cd), w_f2[:]) + b_f2[:].astype(jnp.float32)
+        x = _ln(x + f, ln2_s[:], ln2_b[:])
+
+    w_ih, b_r, w_hh = ws[next(i)], ws[next(i)], ws[next(i)]
+    w_out, b_out = ws[next(i)], ws[next(i)]
+
+    # maintain the encoder ring in BOTH modes (the unfused path does too,
+    # keeping the serving modes switchable mid-stream)
+    @pl.when(commit != 0)
+    def _():
+        enc_ref[pl.ds(slot, 1), :] = x.astype(enc_ref.dtype)
+
+    if rnn_carry:
+        pre = dot(x.astype(cd), w_ih[:]) + b_r[:].astype(jnp.float32)
+        h_t = jnp.tanh(pre + dot(h_in_ref[:].astype(cd), w_hh[:]))
+
+        @pl.when(commit != 0)
+        def _():
+            h_ref[:] = h_t.astype(h_ref.dtype)
+    else:
+
+        xin_scratch[:] = (dot(enc_ref[:].astype(cd), w_ih[:])
+                          + b_r[:].astype(jnp.float32))
+        start = jnp.where(k_prev + jnp.int32(1) <= w32, jnp.int32(0),
+                          jax.lax.rem(slot + jnp.int32(1), w32))
+        h_t = jnp.zeros((1, cfg.rnn_hid_size), jnp.float32)
+        for t in range(W):                     # static unroll (Mosaic-safe)
+            idx = jax.lax.rem(start + jnp.int32(t), w32)
+            xrow = xin_scratch[pl.ds(idx, 1), :]
+            h_next = jnp.tanh(xrow + dot(h_t.astype(cd), w_hh[:]))
+            h_t = jnp.where(t < n_valid, h_next, h_t)
+        # replay mode never carries the hidden; keep the buffer as-is
+
+    y = dot(h_t.astype(cd), w_out[:]) + b_out[:].astype(jnp.float32)
+    y_ref[:] = y.astype(y_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "rnn_carry", "interpret"))
+def fused_cached_forward_step(packed_ws, cache: KVCache, x_token, k_prev,
+                              commit, cfg, *, rnn_carry: bool = False,
+                              interpret: bool = False):
+    """Fused-kernel equivalent of cached_forward_step.
+
+    packed_ws: ops.fused_forward.pack_weights output (perm folded into the
+    in-projection; its dtype should match the cache ring dtype).
+    commit: () bool — write the new token into the rings (False during the
+    smoothing warmup keeps the cache untouched without a copy-on-select).
+    Returns (new_cache, y_t (size_s,) f32).
+    """
+    W = cache.enc.shape[0]
+    imu_dim = cfg.input_size_imu + (18 if cfg.with_acc_sum else 0)
+    x = jnp.nan_to_num(x_token, nan=0.0)
+    x = x.at[imu_dim + 108:imu_dim + 111].set(0.0)
+    x = x[None].astype(packed_ws[0].dtype)
+
+    scalars = jnp.stack([jnp.asarray(k_prev, jnp.int32),
+                         jnp.asarray(commit, jnp.int32)])
+    h2d = cache.h[None]
+
+    spec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)
+    n_in = 6 + len(packed_ws)
+    out_shape = [
+        jax.ShapeDtypeStruct((1, cfg.size_s), jnp.float32),
+        jax.ShapeDtypeStruct(h2d.shape, h2d.dtype),
+        jax.ShapeDtypeStruct(cache.k.shape, cache.k.dtype),
+        jax.ShapeDtypeStruct(cache.v.shape, cache.v.dtype),
+        jax.ShapeDtypeStruct(cache.enc.shape, cache.enc.dtype),
+    ]
+    scratch = [] if rnn_carry else [
+        pltpu.VMEM((W, cfg.rnn_hid_size), jnp.float32)]
+    y, h_new, kc, vc, enc = pl.pallas_call(
+        functools.partial(_fused_cached_kernel, cfg=cfg, t_len=W,
+                          rnn_carry=rnn_carry),
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * (n_in - 1),
+        out_specs=[spec] * 5,
+        input_output_aliases={2: 1, 3: 2, 4: 3, 5: 4},
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(scalars, x, h2d, cache.k, cache.v, cache.enc, *packed_ws)
+    new_cache = KVCache(k=kc, v=vc, enc=enc, h=h_new[0])
+    return new_cache, y[0]
