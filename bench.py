@@ -60,14 +60,17 @@ def main():
     from tip_tpu.runtime import runner as R
     from tip_tpu.runtime import terrain as terrain_lib
 
-    # flagship model config; fused Pallas RNN head (see ops/pallas_kernels.py)
+    # flagship model config. Single-stream fast paths (numerics-identical):
+    # Pallas RNN head (ops/pallas_kernels.py) and the fused Pallas FK
+    # (ops/kinematics.fk_bullet_fused).
     if args.serving_mode == "recompute":
         fwd = args.forward_impl or "xla"
         mcfg = M.ModelConfig(rnn_impl="pallas", forward_impl=fwd)
     else:
         fwd = args.forward_impl or "fused"
         mcfg = M.ModelConfig(forward_impl=fwd)
-    base_cfg = R.RunnerConfig(model=mcfg, serving_mode=args.serving_mode)
+    base_cfg = R.RunnerConfig(model=mcfg, serving_mode=args.serving_mode,
+                              fk_impl="pallas")
     params = M.init_params(jax.random.PRNGKey(0), base_cfg.model)
     skel = kin.amass_skeleton()
 

@@ -136,3 +136,44 @@ def test_fixed_wrist_follows_elbow():
     pq_jf = np.asarray(pq_jf)
     # lwrist (link 14) orientation == lelbow (link 13) orientation
     np.testing.assert_allclose(pq_jf[15, 3:], pq_jf[14, 3:], atol=1e-7)
+
+
+def test_fused_fk_matches_xla_fk():
+    """The single-op Pallas FK (fk_bullet_fused) equals the level-parallel
+    XLA fk to float rounding, including fixed-wrist handling."""
+    skel = kin.amass_skeleton()
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        state = rng.normal(size=57).astype(np.float32) * 0.4
+        ref_com, ref_jf = kin.fk_bullet_state(
+            skel, jnp.asarray(state), return_joint_frame=True)
+        got_com, got_jf = kin.fk_bullet_fused(skel, jnp.asarray(state),
+                                              interpret=True)
+        np.testing.assert_allclose(np.asarray(got_com), np.asarray(ref_com),
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(got_jf), np.asarray(ref_jf),
+                                   atol=2e-6)
+
+
+def test_runner_fk_impl_pallas_matches_xla():
+    """RunnerConfig(fk_impl="pallas") routes stage 6 through the fused FK
+    kernel; a short stream must track the XLA FK path to float rounding."""
+    import test_runner as TR
+    from tip_tpu.models import tip_model as M
+    from tip_tpu.runtime import runner as R
+
+    skel = kin.amass_skeleton()
+    cfg_m = M.ModelConfig(tf_in_dim=32, tf_hid_size=64, n_heads=4,
+                          tf_layers=2, rnn_hid_size=24)
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.float32),
+        M.init_params(jax.random.PRNGKey(0), cfg_m))
+    T = 12
+    imu = jnp.asarray(TR.make_stream(T).astype(np.float32))
+    s_init = jnp.asarray(TR.make_s_init().astype(np.float32))
+    outs = {}
+    for impl in ("xla", "pallas"):
+        cfg = R.RunnerConfig(model=cfg_m, fk_impl=impl)
+        s, _, _ = R.run_offline(params, cfg, skel, s_init, imu)
+        outs[impl] = np.asarray(s)
+    np.testing.assert_allclose(outs["pallas"], outs["xla"], atol=5e-5)

@@ -181,3 +181,133 @@ def fk_bullet_state(skel: Skeleton, state_bullet, return_joint_frame=False):
 def fk_our_state(skel: Skeleton, s, return_joint_frame=False):
     """FK straight from a nimble-ordered 114-d state."""
     return fk_bullet_state(skel, our_pose_to_bullet(s), return_joint_frame)
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas FK: the whole pose -> link-frames pipeline as one op
+# ---------------------------------------------------------------------------
+# The XLA level-parallel fk() above costs ~35 us per frame on the streaming
+# path — not FLOPs (a few hundred) but per-op latency across ~50 small
+# quaternion ops. This kernel unrolls the 19-joint tree walk (plus the
+# axis-angle -> quaternion decode of the pose vector) into ONE op with every
+# intermediate in registers. Used for single-stream serving (vmap over it
+# serialises — batched paths keep the XLA fk).
+
+import functools as _functools
+
+import jax as _jax
+from jax.experimental import pallas as _pl
+from jax.experimental.pallas import tpu as _pltpu
+
+
+# structural constants: Mosaic rejects lane-offset concatenates, so vector
+# assembly/permutation is done with tiny constant matmuls instead
+import numpy as _np
+
+_ROLL1 = _np.zeros((3, 3), _np.float32)   # (x,y,z) -> (y,z,x)
+_ROLL1[[1, 2, 0], [0, 1, 2]] = 1.0
+_ROLL2 = _ROLL1 @ _ROLL1                   # (x,y,z) -> (z,x,y)
+_E_V4 = _np.zeros((3, 4), _np.float32)     # embed vector part of a quat
+_E_V4[[0, 1, 2], [0, 1, 2]] = 1.0
+_E_W4 = _np.zeros((1, 4), _np.float32)     # embed scalar part
+_E_W4[0, 3] = 1.0
+_E_P7 = _np.zeros((3, 7), _np.float32)     # embed position into a (p,q) row
+_E_P7[[0, 1, 2], [0, 1, 2]] = 1.0
+_E_Q7 = _np.zeros((4, 7), _np.float32)     # embed quat into a (p,q) row
+_E_Q7[[0, 1, 2, 3], [3, 4, 5, 6]] = 1.0
+
+
+def _k_cross(a, b, c):
+    """(1,3) x (1,3) via roll-matmuls (no lane concat)."""
+    r1, r2 = c["r1"], c["r2"]
+    return (a @ r1) * (b @ r2) - (a @ r2) * (b @ r1)
+
+
+def _k_vw(v, w, c):
+    """Assemble (1,4) quat from (1,3) vector + (1,1) scalar parts."""
+    return v @ c["ev4"] + w @ c["ew4"]
+
+
+def _k_aa_to_q(aa, c):
+    a2 = jnp.sum(aa * aa, axis=-1, keepdims=True)
+    angle = jnp.sqrt(jnp.maximum(a2, 1e-24))
+    half = 0.5 * angle
+    small = angle < 1e-6
+    k = jnp.where(small, 0.5 - a2 / 48.0, jnp.sin(half) / angle)
+    w = jnp.sin(0.5 * jnp.pi - half)          # cos via sin (rotations._cos)
+    return _k_vw(aa * k, w, c)
+
+
+def _k_qmul(q1, q2, c):
+    v1, w1 = q1[:, :3], q1[:, 3:4]
+    v2, w2 = q2[:, :3], q2[:, 3:4]
+    w = w1 * w2 - jnp.sum(v1 * v2, axis=-1, keepdims=True)
+    v = w1 * v2 + w2 * v1 + _k_cross(v1, v2, c)
+    return _k_vw(v, w, c)
+
+
+def _k_qrot(q, v, c):
+    qv, qw = q[:, :3], q[:, 3:4]
+    t = 2.0 * _k_cross(qv, v, c)
+    return v + qw * t + _k_cross(qv, t, c)
+
+
+def _fk_kernel(state_ref, joff_ref, coff_ref, r1_ref, r2_ref, ev4_ref,
+               ew4_ref, ep7_ref, eq7_ref, com_ref, jf_ref,
+               *, parent, is_fixed, active):
+    """state: (1, 57) bullet pose. Outputs (20, 7) CoM / joint frames.
+    The r1/r2/e* inputs are the structural constant matrices (pallas
+    requires array constants to arrive as inputs)."""
+    c = {"r1": r1_ref[:], "r2": r2_ref[:],
+         "ev4": ev4_ref[:], "ew4": ew4_ref[:]}
+    ep7 = ep7_ref[:]
+    eq7 = eq7_ref[:]
+    s = state_ref[:]                                   # (1, 57)
+    root_p = s[:, 0:3]
+    q_root = _k_aa_to_q(s[:, 3:6], c)
+
+    # local joint quaternions: 17 active spherical joints decoded from aa,
+    # fixed wrists identity — scattered statically in the unrolled walk
+    q_loc = {}
+    for i, j in enumerate(active):
+        q_loc[int(j)] = _k_aa_to_q(s[:, 6 + 3 * i: 9 + 3 * i], c)
+
+    q_all = [None] * (len(parent) + 1)
+    p_all = [None] * (len(parent) + 1)
+    q_all[0] = q_root
+    p_all[0] = root_p
+    for j, par in enumerate(parent):
+        ps = par + 1
+        off = joff_ref[j:j + 1, :]
+        p_all[j + 1] = p_all[ps] + _k_qrot(q_all[ps], off, c)
+        if is_fixed[j]:
+            q_all[j + 1] = q_all[ps]
+        else:
+            q_all[j + 1] = _k_qmul(q_all[ps], q_loc[j], c)
+
+    for li in range(len(parent) + 1):
+        p_com = p_all[li] + _k_qrot(q_all[li], coff_ref[li:li + 1, :], c)
+        jf_ref[li:li + 1, :] = p_all[li] @ ep7 + q_all[li] @ eq7
+        com_ref[li:li + 1, :] = p_com @ ep7 + q_all[li] @ eq7
+
+
+@_functools.partial(_jax.jit, static_argnames=("interpret",))
+def fk_bullet_fused(skel: Skeleton, state_bullet, interpret: bool = False):
+    """Fused-kernel equivalent of fk_bullet_state(..., return_joint_frame=
+    True) for a single (57,) bullet pose. Matches the XLA path to float
+    rounding (tested in tests/test_kinematics.py)."""
+    spec = _pl.BlockSpec(memory_space=_pl.ANY if interpret else _pltpu.VMEM)
+    kern = _functools.partial(
+        _fk_kernel, parent=tuple(skel.parent), is_fixed=tuple(skel.is_fixed),
+        active=tuple(int(a) for a in _ACTIVE))
+    dt = state_bullet.dtype
+    consts = tuple(jnp.asarray(m, dt)
+                   for m in (_ROLL1, _ROLL2, _E_V4, _E_W4, _E_P7, _E_Q7))
+    pq_com, pq_jf = _pl.pallas_call(
+        kern,
+        out_shape=[_jax.ShapeDtypeStruct((skel.n_joints + 1, 7), dt)] * 2,
+        in_specs=[spec] * (3 + len(consts)),
+        out_specs=[spec] * 2,
+        interpret=interpret,
+    )(state_bullet[None], skel.joint_offset, skel.com_offset, *consts)
+    return pq_com, pq_jf

@@ -146,8 +146,11 @@ def matrix_to_q(m):
     t_all = jnp.stack([tw, tx, ty, tz], axis=-1)
     q_all = jnp.stack([q_w, q_x, q_y, q_z], axis=-2)
     best = jnp.argmax(t_all, axis=-1)
-    q = jnp.take_along_axis(q_all, best[..., None, None].astype(jnp.int32),
-                            axis=-2).squeeze(-2)
+    # one-hot select (exact: weights are 0/1 and candidates are finite) —
+    # an elementwise-fusable alternative to take_along_axis, whose gather
+    # costs ~10 us per call on the latency-bound streaming path
+    onehot = (best[..., None] == jnp.arange(4)).astype(q_all.dtype)
+    q = jnp.sum(q_all * onehot[..., None], axis=-2)
     q = q_normalize(q)
     # canonical sign: w >= 0 (matches scipy as_quat up to this convention)
     return q * jnp.sign(jnp.where(q[..., 3:4] == 0.0, 1.0, q[..., 3:4]))

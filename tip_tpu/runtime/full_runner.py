@@ -148,7 +148,8 @@ def full_runner_step(params, carry: FullCarry, cur_imu,
         s_t, c_t = s_pred, c_pred
 
     # ---- FK + SBP residues (ref :451-460) -------------------------------------
-    pq_g, pq_g_jf = kin.fk_our_state(skel, s_t, return_joint_frame=True)
+    from tip_tpu.runtime.runner import _fk
+    pq_g, pq_g_jf = _fk(bcfg, skel, s_t)
     corr = sbp_ops.root_correction_from_constrs(
         b.prev_pq, pq_g, c_t, n_sbps=n_sbps, use_n_sbps=min(5, n_sbps),
         dt=bcfg.dt)

@@ -56,6 +56,10 @@ class RunnerConfig:
     dt: float = cst.DT
     # exponential output filter weights 0.6^[5..0] (reference :57)
     filter_len: int = 6
+    # "xla": level-parallel fk (ops/kinematics.fk); "pallas": the whole
+    # pose->frames pipeline as one kernel (kinematics.fk_bullet_fused) —
+    # single-stream fast path, ~35 us -> ~5 us
+    fk_impl: str = "xla"
     # "recompute": windowed forward every frame (reference semantics);
     # "kv_cache": per-layer K/V rings, only the newest token runs through
     # the encoder (exact while the window grows; documented divergence once
@@ -284,6 +288,14 @@ def sense_and_predict(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
                         out_buf, n_out, active, s_t, c_t, cache))
 
 
+def _fk(cfg: RunnerConfig, skel: kin.Skeleton, s_t):
+    """Pose -> (CoM frames, joint frames) via the configured FK path."""
+    if cfg.fk_impl == "pallas":
+        return kin.fk_bullet_fused(skel, kin.our_pose_to_bullet(s_t),
+                                   interpret=jax.default_backend() != "tpu")
+    return kin.fk_our_state(skel, s_t, return_joint_frame=True)
+
+
 def runner_step(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
                 skel: kin.Skeleton,
                 rng: Optional[jax.Array] = None):
@@ -296,7 +308,7 @@ def runner_step(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
      s_t, c_t, cache) = sense_and_predict(params, carry, cur_imu, cfg, rng)
 
     # ---- 6. FK + SBP root correction (ref :169-194) ---------------------------
-    pq_g, pq_g_jf = kin.fk_our_state(skel, s_t, return_joint_frame=True)
+    pq_g, pq_g_jf = _fk(cfg, skel, s_t)
     corr = sbp_ops.root_correction_from_constrs(
         carry.prev_pq, pq_g, c_t, n_sbps=n_sbps, use_n_sbps=min(5, n_sbps),
         dt=cfg.dt)
