@@ -53,36 +53,44 @@ def main():
         streams = jnp.asarray(np.broadcast_to(stream, (B, T, 72))
                               .transpose(1, 0, 2).copy())    # (T, B, 72)
 
+        ticks = jnp.arange(T, dtype=jnp.int32)
+
         @jax.jit
-        def run(params, streams, cfg=cfg, B=B, chunk=chunk):
+        def run(params, streams, ticks, cfg=cfg, B=B, chunk=chunk):
             carry0 = R.runner_init(cfg, skel, jnp.asarray(s_init))
             carries = jax.tree_util.tree_map(
                 lambda x: jnp.broadcast_to(x, (B,) + x.shape), carry0)
+            # tick: global ring cursor, unbatched across the pool — turns
+            # the kv-cache per-stream ring scatter into one
+            # dynamic-update-slice (streaming_cache)
             vstep = jax.vmap(
-                lambda c, x: R.runner_step(params, c, x, cfg, skel))
+                lambda c, x, tk: R.runner_step(params, c, x, cfg, skel,
+                                               tick=tk),
+                in_axes=(0, 0, None))
 
-            def sstep(cs, x_b):
+            def sstep(cs, xs):
+                x_b, tk = xs
                 if chunk and chunk < B:
                     csc = jax.tree_util.tree_map(
                         lambda a: a.reshape((B // chunk, chunk) + a.shape[1:]),
                         cs)
                     xc = x_b.reshape(B // chunk, chunk, 72)
                     cs2, out = jax.lax.map(
-                        lambda args: vstep(args[0], args[1]), (csc, xc))
+                        lambda args: vstep(args[0], args[1], tk), (csc, xc))
                     cs2 = jax.tree_util.tree_map(
                         lambda a: a.reshape((B,) + a.shape[2:]), cs2)
                     return cs2, out["qdq"].reshape(B, -1)[:, :3]
-                cs2, out = vstep(cs, x_b)
+                cs2, out = vstep(cs, x_b, tk)
                 return cs2, out["qdq"][:, :3]
 
-            _, o = jax.lax.scan(sstep, carries, streams)
+            _, o = jax.lax.scan(sstep, carries, (streams, ticks))
             return o
 
-        jax.block_until_ready(run(params, streams))
+        jax.block_until_ready(run(params, streams, ticks))
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(params, streams))
+            jax.block_until_ready(run(params, streams, ticks))
             times.append(time.perf_counter() - t0)
         fps = B * T / min(times)
         print(json.dumps({

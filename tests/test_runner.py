@@ -248,7 +248,8 @@ def test_multi_stream_vmap_equals_single(setup):
                                                dtype=jnp.float64))(jnp.arange(B))
     outs = []
     for t in range(T):
-        carries, out = step_b(params, carries, jnp.asarray(streams[:, t]))
+        carries, out = step_b(params, carries, jnp.asarray(streams[:, t]),
+                              jnp.asarray(t, jnp.int32))
         outs.append(np.asarray(out["qdq"]))
     batched = np.stack(outs, axis=1)               # (B, T, 114)
 

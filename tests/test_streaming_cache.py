@@ -96,14 +96,46 @@ def test_kv_cache_vmaps_for_batched_serving(setup):
     streams = np.stack([TR.make_stream(T) for _ in range(B)])
     outs = []
     for t in range(T):
-        carries, out = step(params, carries, jnp.asarray(streams[:, t]))
+        # global pool tick: the kv-cache ring cursor shared by all streams
+        carries, out = step(params, carries, jnp.asarray(streams[:, t]),
+                            jnp.asarray(t, jnp.int32))
         outs.append(np.asarray(out["qdq"]))
     outs = np.stack(outs)                    # (T, B, 114)
     assert np.isfinite(outs).all()
-    # each slot matches its own single-stream cached run
+    # each slot matches its own single-stream cached run (which uses the
+    # per-stream cursor) -- the global-cursor layout is semantics-preserving
     for b in range(B):
         solo = _run(params, skel, streams[b], s_init, "kv_cache")
         np.testing.assert_allclose(outs[:-1, b], solo[1:T], atol=1e-9)
+
+
+def test_kv_cache_pool_mid_stream_join(setup):
+    # A stream joining a global-cursor pool mid-session (pool tick != 0)
+    # must produce exactly its solo trajectory: the per-slot validity ring
+    # masks the previous occupant tokens and the warmup holes.
+    params, skel = setup
+    cfg = R.RunnerConfig(model=TR.SMALL_MODEL, serving_mode="kv_cache")
+    step = R.make_multi_stream_step(cfg, skel)
+    B, T, JOIN = 2, 60, 7                 # join AFTER warmup; cursor wraps
+    s_init = TR.make_s_init()
+    carry0 = R.runner_init(cfg, skel, jnp.asarray(s_init), dtype=jnp.float64)
+    carries = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), carry0)
+    streams = np.stack([TR.make_stream(T + JOIN) for _ in range(B)])
+    outs = []
+    for t in range(T + JOIN):
+        if t == JOIN:
+            # stream 1 (re)joins: fresh carry written into its slot
+            fresh = R.runner_init(cfg, skel, jnp.asarray(s_init),
+                                  dtype=jnp.float64)
+            carries = jax.tree_util.tree_map(
+                lambda pool, x: pool.at[1].set(x), carries, fresh)
+        carries, out = step(params, carries, jnp.asarray(streams[:, t]),
+                            jnp.asarray(t, jnp.int32))
+        outs.append(np.asarray(out["qdq"]))
+    outs = np.stack(outs)
+    solo = _run(params, skel, streams[1, JOIN:], s_init, "kv_cache")
+    np.testing.assert_allclose(outs[JOIN:-1, 1], solo[1:T], atol=1e-9)
 
 
 # ---------------------------------------------------------------------------

@@ -165,10 +165,15 @@ class SensedFrame(tuple):
 
 
 def sense_and_predict(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
-                      rng: Optional[jax.Array] = None):
+                      rng: Optional[jax.Array] = None, tick=None):
     """Stages 1-5 shared by the minimal and full runners: raw-ring smoothing,
     local features + acc-sum, model forward, output filter, state assembly.
-    Returns (buffer updates…, active flag, assembled s_t, SBP vector c_t)."""
+    Returns (buffer updates…, active flag, assembled s_t, SBP vector c_t).
+
+    tick: optional () int32 GLOBAL pool tick for kv-cache serving — every
+    stream of a synchronously-ticking pool then writes the same cache slot,
+    so vmap lowers the ring update to one dynamic-update-slice instead of a
+    per-stream scatter (see streaming_cache.cached_forward_step)."""
     dtype = carry.imu_win.dtype
     cur_imu = jnp.asarray(cur_imu, dtype)
     n_sbps = cfg.n_sbps
@@ -220,7 +225,7 @@ def sense_and_predict(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
             parts.append(runsum / cst.ACC_SUM_DOWN_SCALE)
         x_token = jnp.concatenate(parts + [hist_t])
         rnn_carry = cfg.serving_mode == "kv_cache_rnn_carry"
-        if cfg.model.forward_impl == "fused":
+        if cfg.model.forward_impl == "fused" and tick is None:
             # whole cached step as ONE Pallas op (in-place ring updates;
             # the commit flag replaces the warmup copy-on-select)
             from tip_tpu.ops import fused_forward as FF
@@ -234,7 +239,7 @@ def sense_and_predict(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
         else:
             new_cache, y_t = SC.cached_forward_step(
                 params, carry.cache, x_token, carry.k, cfg.model,
-                rnn_carry=rnn_carry)
+                rnn_carry=rnn_carry, slot_override=tick)
             # only commit the push when a smoothed frame actually arrived
             cache = jax.tree_util.tree_map(
                 lambda n, o: jnp.where(have_smoothed, n, o),
@@ -298,14 +303,15 @@ def _fk(cfg: RunnerConfig, skel: kin.Skeleton, s_t):
 
 def runner_step(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
                 skel: kin.Skeleton,
-                rng: Optional[jax.Array] = None):
+                rng: Optional[jax.Array] = None, tick=None):
     """One 60 Hz frame of the minimal runner (flat-ground assumption).
     Returns (carry', dict(qdq, viz_locs, ct))."""
     dtype = carry.imu_win.dtype
     n_sbps = cfg.n_sbps
     W = cfg.window
     (raw, k_new, imu_win, accsum_win, acc_runsum, out_buf, n_out, active,
-     s_t, c_t, cache) = sense_and_predict(params, carry, cur_imu, cfg, rng)
+     s_t, c_t, cache) = sense_and_predict(params, carry, cur_imu, cfg, rng,
+                                          tick=tick)
 
     # ---- 6. FK + SBP root correction (ref :169-194) ---------------------------
     pq_g, pq_g_jf = _fk(cfg, skel, s_t)
@@ -392,11 +398,12 @@ def trim_latency(arr, trim: int):
 def make_multi_stream_step(cfg: RunnerConfig, skel: kin.Skeleton):
     """vmap-batched runner step: serve many IMU streams on one chip.
 
-    Returns step(params, carries, imu_batch) with carries/imu batched on
-    axis 0. New capability vs the reference (single-stream only) — see
-    SURVEY.md §2.8.
+    Returns step(params, carries, imu_batch, tick) with carries/imu batched
+    on axis 0 and tick a () int32 global counter shared by all streams (the
+    kv-cache global ring cursor; ignored by the recompute mode). New
+    capability vs the reference (single-stream only) — see SURVEY.md §2.8.
     """
-    def one(params, carry, imu_t):
-        return runner_step(params, carry, imu_t, cfg, skel)
+    def one(params, carry, imu_t, tick):
+        return runner_step(params, carry, imu_t, cfg, skel, tick=tick)
 
-    return jax.jit(jax.vmap(one, in_axes=(None, 0, 0)))
+    return jax.jit(jax.vmap(one, in_axes=(None, 0, 0, None)))

@@ -61,20 +61,24 @@ class StreamPool:
 
         self.active = np.zeros(capacity, bool)
 
-        def one(params, carry, imu_t):
-            return runner_lib.runner_step(params, carry, imu_t, cfg, self.skel)
+        def one(params, carry, imu_t, tick):
+            return runner_lib.runner_step(params, carry, imu_t, cfg,
+                                          self.skel, tick=tick)
 
-        vstep = jax.vmap(one, in_axes=(None, 0, 0))
+        # tick: () int32 global pool counter, shared (unbatched) across the
+        # pool — the kv-cache global ring cursor (streaming_cache)
+        vstep = jax.vmap(one, in_axes=(None, 0, 0, None))
         if chunk is not None and chunk < capacity:
             n_chunks = capacity // chunk
 
-            def batched(params, carries, imu):
+            def batched(params, carries, imu, tick):
                 cs = jax.tree_util.tree_map(
                     lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]),
                     carries)
                 xs = imu.reshape(n_chunks, chunk, imu.shape[-1])
                 cs2, out = jax.lax.map(
-                    lambda args: vstep(params, args[0], args[1]), (cs, xs))
+                    lambda args: vstep(params, args[0], args[1], tick),
+                    (cs, xs))
                 unchunk = lambda a: a.reshape((capacity,) + a.shape[2:])
                 return (jax.tree_util.tree_map(unchunk, cs2),
                         jax.tree_util.tree_map(unchunk, out))
@@ -82,10 +86,11 @@ class StreamPool:
             batched = vstep
         if self._batch_sharding is not None:
             bs = self._batch_sharding
-            self._step = jax.jit(batched, in_shardings=(None, bs, bs),
+            self._step = jax.jit(batched, in_shardings=(None, bs, bs, None),
                                  out_shardings=(bs, bs))
         else:
             self._step = jax.jit(batched)
+        self._tick = 0
         self._slot_init = jax.jit(
             lambda s: runner_lib.runner_init(cfg, self.skel, s, dtype))
 
@@ -113,5 +118,7 @@ class StreamPool:
         inactive slots are ignored (computed but discarded)."""
         self._carries, out = self._step(
             self.params, self._carries,
-            jnp.asarray(imu_batch, self._dtype))
+            jnp.asarray(imu_batch, self._dtype),
+            jnp.asarray(self._tick, jnp.int32))
+        self._tick += 1
         return out

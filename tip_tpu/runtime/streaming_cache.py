@@ -39,6 +39,8 @@ class KVCache:
     v: jnp.ndarray       # (L, W, d) per-layer value rings
     enc: jnp.ndarray     # (W, d) encoder-output ring (RNN replay input)
     h: jnp.ndarray       # (H,) carried RNN hidden (rnn_carry mode only)
+    valid: jnp.ndarray   # (W,) bool — slot holds a live token (global-cursor
+    #                      pool mode; derived from k in single-stream mode)
 
 
 def cache_init(cfg, window: int, dtype=jnp.float32) -> KVCache:
@@ -54,21 +56,21 @@ def cache_init(cfg, window: int, dtype=jnp.float32) -> KVCache:
         v=jnp.zeros((L, window, d), dtype),
         enc=jnp.zeros((window, d), dtype),
         h=jnp.zeros((H,), dtype),
+        valid=jnp.zeros((window,), bool),
     )
 
 
-def _push(ring, k, x, window: int):
-    """Circular ring write: slot k % window. Unlike the base runner's
-    shift-left windows (which must stay chronological for the dense model
-    input), the cache rings only need a validity mask — attention is
-    permutation-invariant over its keys — so one slot-write per frame
-    replaces an O(window) shift. HBM traffic per frame drops ~40x on the
-    K/V/enc state, the dominant cost of batched cached serving."""
-    return ring.at[k % window].set(x)
+# Ring discipline: circular slot-writes. Unlike the base runner's shift-left
+# windows (which must stay chronological for the dense model input), the
+# cache rings only need a validity mask — attention is permutation-invariant
+# over its keys — so one slot-write per frame replaces an O(window) shift
+# (~40x less write traffic on the K/V/enc state). Only the RNN replay needs
+# chronological order, recovered by walking the ring from the cursor.
 
 
 def cached_forward_step(params, cache: KVCache, x_token, k_prev,
                         cfg, *, rnn_carry: bool = False,
+                        slot_override=None,
                         ) -> Tuple[KVCache, jnp.ndarray]:
     """One streaming token through the encoder with cached K/V.
 
@@ -77,6 +79,13 @@ def cached_forward_step(params, cache: KVCache, x_token, k_prev,
         history] — the same channels forward() sees at the last position.
       k_prev: () int32 — window entries before this frame (ring push index).
       cfg: ModelConfig.
+      slot_override: optional () int32 GLOBAL ring cursor (pool tick % W).
+        In a synchronously-ticking StreamPool every stream writes the same
+        slot, so passing the pool tick (unbatched under vmap) turns the
+        per-stream ring scatter into one dynamic-update-slice — worth ~35%
+        of batched throughput (PERF.md). Per-slot validity then comes from
+        the cache's ``valid`` ring (exact: post-warmup a stream pushes every
+        tick, so the bits mark precisely its last <= W tokens).
     Returns (new_cache, y_t (size_s,)).
     """
     W = cache.enc.shape[0]
@@ -95,16 +104,23 @@ def cached_forward_step(params, cache: KVCache, x_token, k_prev,
     x = x_token @ params["in_linear"]["w"] + params["in_linear"]["b"]
     x = x[M.head_interleave_perm(cfg)]
 
-    n_valid = jnp.minimum(k_prev + 1, W)       # tokens visible after push
-    valid = jnp.arange(W) < n_valid            # left-aligned ring validity
+    if slot_override is None:
+        slot = k_prev % W
+        n_valid = jnp.minimum(k_prev + 1, W)   # tokens visible after push
+        valid = jnp.arange(W) < n_valid        # left-aligned ring validity
+        valid_ring = cache.valid.at[slot].set(True)
+    else:
+        slot = slot_override % W
+        valid = cache.valid.at[slot].set(True)
+        valid_ring = valid
 
     k_rings, v_rings = [], []
     for li, layer in enumerate(params["layers"]):
         q = x @ layer["w_q"] + layer["b_q"]
         kt = x @ layer["w_k"] + layer["b_k"]
         vt = x @ layer["w_v"] + layer["b_v"]
-        k_ring = _push(cache.k[li].astype(kt.dtype), k_prev, kt, W)
-        v_ring = _push(cache.v[li].astype(vt.dtype), k_prev, vt, W)
+        k_ring = cache.k[li].astype(kt.dtype).at[slot].set(kt)
+        v_ring = cache.v[li].astype(vt.dtype).at[slot].set(vt)
         k_rings.append(k_ring)
         v_rings.append(v_ring)
 
@@ -123,7 +139,7 @@ def cached_forward_step(params, cache: KVCache, x_token, k_prev,
         f = f @ layer["ff2"]["w"] + layer["ff2"]["b"]
         x = M._layer_norm(x + f, layer["ln2_s"], layer["ln2_b"])
 
-    enc_ring = _push(cache.enc.astype(x.dtype), k_prev, x, W)
+    enc_ring = cache.enc.astype(x.dtype).at[slot].set(x)
 
     rnn = params["rnn"]
     if rnn_carry:
@@ -136,15 +152,15 @@ def cached_forward_step(params, cache: KVCache, x_token, k_prev,
     else:
         # replay from zero over the valid window in CHRONOLOGICAL order —
         # identical head math to the windowed forward. The ring is circular,
-        # so the scan walks ages oldest-to-newest via modular indexing.
+        # so the scan walks it oldest-to-newest from the slot after the
+        # cursor, freezing the hidden on invalid slots (pre-warmup holes).
         xin = enc_ring @ rnn["w_ih"] + rnn["b_ih"] + rnn["b_hh"]   # (W, H)
-        slot = k_prev % W
-        start = jnp.where(k_prev + 1 <= W, 0, (slot + 1) % W)
+        start = (slot + 1) % W
 
         def cell(hprev, j):
             idx = (start + j) % W
             h_next = jnp.tanh(xin[idx] + hprev @ rnn["w_hh"])
-            return jnp.where(j < n_valid, h_next, hprev), None
+            return jnp.where(valid[idx], h_next, hprev), None
 
         h0 = jnp.zeros((cfg.rnn_hid_size,), xin.dtype)
         h_t, _ = jax.lax.scan(cell, h0, jnp.arange(W))
@@ -157,6 +173,7 @@ def cached_forward_step(params, cache: KVCache, x_token, k_prev,
         v=jnp.stack(v_rings).astype(dtype),
         enc=enc_ring.astype(dtype),
         h=h_carry.astype(dtype),
+        valid=valid_ring,
     )
     return new_cache, y.astype(dtype)
 
@@ -327,5 +344,9 @@ def fused_cached_forward_step(packed_ws, cache: KVCache, x_token, k_prev,
         scratch_shapes=scratch,
         interpret=interpret,
     )(scalars, x, h2d, cache.k, cache.v, cache.enc, *packed_ws)
-    new_cache = KVCache(k=kc, v=vc, enc=enc, h=h_new[0])
+    valid = jnp.where(jnp.asarray(commit, bool),
+                      cache.valid.at[jnp.asarray(k_prev, jnp.int32)
+                                     % W].set(True),
+                      cache.valid)
+    new_cache = KVCache(k=kc, v=vc, enc=enc, h=h_new[0], valid=valid)
     return new_cache, y[0]
