@@ -8,8 +8,24 @@ import numpy as np
 import pytest
 from scipy.spatial.transform import Rotation
 
+import jax
+import jax.numpy as jnp
+
+from tip_tpu.models import tip_model as M
+from tip_tpu.ops import kinematics as kin
 from tip_tpu.runtime import calibration as cal
+from tip_tpu.runtime import runner as R
 from tip_tpu.runtime.imu_client import IMUClient, SeqlockSlot
+
+import test_runner as TR
+
+
+@pytest.fixture(scope="module")
+def setup_small():
+    params = M.init_params(jax.random.PRNGKey(0), TR.SMALL_MODEL,
+                           dtype=jnp.float64)
+    skel = kin.amass_skeleton(dtype=jnp.float64)
+    return params, skel, TR.CFG
 
 RNG = np.random.default_rng(13)
 BRIDGE = os.path.join(os.path.dirname(__file__), "..", "native", "build",
@@ -104,3 +120,85 @@ def test_bridge_replay_roundtrip(tmp_path):
         assert match
     finally:
         proc.kill()
+
+
+def test_serve_daemon_multi_client(setup_small):
+    """Serving daemon end to end over localhost: two clients stream wire-
+    format frames, each gets back its own pose jsonl; disconnect frees the
+    slot for a new client."""
+    import json
+    import socket
+    import threading
+    import time
+
+    from scipy.spatial.transform import Rotation
+
+    from tip_tpu.runtime.serve_daemon import ServeDaemon
+    from tip_tpu.runtime.serving import StreamPool
+
+    params, skel, cfg = setup_small
+    pool = StreamPool(params, cfg, skel, capacity=2, dtype=jnp.float64)
+    # pre-compile the pool step so the tick loop runs at speed immediately
+    pool.step(np.zeros((2, 72)))
+    s_init = TR.make_s_init()
+    daemon = ServeDaemon(pool, s_init, port=0, hz=240.0, log=lambda *a: None)
+    runner = threading.Thread(target=daemon.run, kwargs={"seconds": 90.0},
+                              daemon=True)
+    runner.start()
+
+    def wire_frames(T, seed):
+        rng = np.random.default_rng(seed)
+        base = Rotation.from_rotvec(rng.normal(size=(6, 3)) * 0.2)
+        out = []
+        for _ in range(T):
+            base = Rotation.from_rotvec(rng.normal(size=(6, 3)) * 0.02) * base
+            out.append(np.concatenate(
+                [base.as_quat(), rng.normal(size=(6, 3)) * 0.3], axis=1
+            ).reshape(-1))
+        return out
+
+    class WireClient:
+        def __init__(self, seed):
+            self.sock = socket.create_connection(("127.0.0.1", daemon.port),
+                                                 timeout=60)
+            self.frames = wire_frames(40, seed)
+            self.lines = []
+            self._buf = b""
+            hello = self._read_line()
+            self.slot = json.loads(hello)["slot"]
+
+        def _read_line(self):
+            while b"\n" not in self._buf:
+                self._buf += self.sock.recv(4096)
+            line, self._buf = self._buf.split(b"\n", 1)
+            return line
+
+        def pump(self, n):
+            for i in range(n):
+                msg = " ".join(f"{v:.6f}" for v in self.frames[i]) + " "
+                self.sock.sendall(msg.encode())
+                self.lines.append(json.loads(self._read_line()))
+
+    a = WireClient(0)
+    b = WireClient(1)
+    assert {a.slot, b.slot} == {0, 1}
+    a.pump(25)
+    b.pump(25)
+    qa = np.array([l["qdq"] for l in a.lines])
+    qb = np.array([l["qdq"] for l in b.lines])
+    assert np.isfinite(qa).all() and np.isfinite(qb).all()
+    # past warmup the two streams' poses differ (per-slot isolation)
+    assert np.abs(qa[-1] - qb[-1]).max() > 1e-6
+
+    # pool-full then slot reuse after disconnect
+    try:
+        WireClient(2)
+        assert False, "expected pool-full error line"
+    except KeyError:
+        pass        # hello line was {"error": "pool full"}
+    a.sock.close()
+    time.sleep(0.5)
+    c = WireClient(3)
+    assert c.slot == a.slot
+    daemon.stop()
+    runner.join(timeout=10)

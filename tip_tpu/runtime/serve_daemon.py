@@ -1,0 +1,170 @@
+"""Multi-stream TCP serving daemon: many live IMU clients on one chip.
+
+Production-serving counterpart of the single-stream live demo
+(cli/live_demo): each TCP client speaks the imu_bridge wire protocol
+(ascii floats, 6 sensors x quat+acc = 42 per frame — the reference's Xsens
+bridge format, live_demo_new.py:85-127) and is assigned a StreamPool slot;
+one 60 Hz vmapped pool tick serves every connected client, and each client
+receives its predicted pose back as a jsonl line per tick.
+
+Frames are expected pre-calibrated (bone-frame, like live_demo
+--skip_calibration); heading/T-pose calibration is a per-sensor-rig concern
+that belongs on the client side of the wire.
+
+Threading model: one reader thread per client publishing latest-wins frames
+through a SeqlockSlot (no locks on the hot path), a single ticker loop
+stepping the pool, and best-effort non-blocking writes back to clients (a
+slow client drops responses, never stalls the tick).
+"""
+
+import json
+import socket
+import threading
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from tip_tpu import constants as cst
+from tip_tpu.runtime.imu_client import FLOATS_PER_FRAME, N_IMUS, SeqlockSlot
+from tip_tpu.runtime.serving import StreamPool
+
+
+def _parse_frame(vals: np.ndarray) -> np.ndarray:
+    from scipy.spatial.transform import Rotation
+    qa = vals.reshape(N_IMUS, 7)
+    r = Rotation.from_quat(qa[:, :4]).as_matrix()      # xyzw wire quats
+    return np.concatenate([r.reshape(-1), qa[:, 4:].reshape(-1)])
+
+
+class _Client:
+    def __init__(self, conn: socket.socket, slot: int):
+        self.conn = conn
+        self.slot = slot
+        self.input = SeqlockSlot(72)
+        self.alive = True
+
+
+class ServeDaemon:
+    """TCP front-end over a StreamPool."""
+
+    def __init__(self, pool: StreamPool, s_init: np.ndarray,
+                 host: str = "127.0.0.1", port: int = 27100,
+                 hz: float = 1.0 / cst.DT, log=print):
+        self.pool = pool
+        self.s_init = np.asarray(s_init, np.float32)
+        self.hz = hz
+        self.log = log
+        self._clients: Dict[int, _Client] = {}     # slot -> client
+        self._lock = threading.Lock()              # membership only
+        self._running = False
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((host, port))
+        self._srv.listen()
+        self.port = self._srv.getsockname()[1]
+        self.ticks = 0
+
+    # -- client side ---------------------------------------------------------
+
+    def _reader(self, client: _Client):
+        data = ""
+        conn = client.conn
+        while self._running and client.alive:
+            try:
+                chunk = conn.recv(4096).decode("ascii")
+            except OSError:
+                break
+            if not chunk:
+                break
+            data += chunk
+            parts = data.split(" ", FLOATS_PER_FRAME)
+            while len(parts) == FLOATS_PER_FRAME + 1:
+                client.input.write(_parse_frame(
+                    np.array(parts[:-1], dtype=float)))
+                data = parts[-1]
+                parts = data.split(" ", FLOATS_PER_FRAME)
+        self._drop(client)
+
+    def _drop(self, client: _Client):
+        with self._lock:
+            if self._clients.get(client.slot) is client:
+                del self._clients[client.slot]
+                self.pool.remove_stream(client.slot)
+        client.alive = False
+        try:
+            client.conn.close()
+        except OSError:
+            pass
+
+    def _accept_loop(self):
+        while self._running:
+            try:
+                conn, addr = self._srv.accept()
+            except OSError:
+                break
+            try:
+                slot = self.pool.add_stream(self.s_init)
+            except RuntimeError:
+                conn.sendall(b'{"error": "pool full"}\n')
+                conn.close()
+                continue
+            client = _Client(conn, slot)
+            with self._lock:
+                self._clients[slot] = client
+            conn.sendall((json.dumps({"slot": slot}) + "\n").encode())
+            threading.Thread(target=self._reader, args=(client,),
+                             daemon=True).start()
+            self.log(f"client {addr} -> slot {slot} "
+                     f"({self.pool.n_active} active)")
+
+    # -- tick loop -----------------------------------------------------------
+
+    def _tick_once(self, batch: np.ndarray):
+        with self._lock:
+            clients = list(self._clients.values())
+        for c in clients:
+            frame = c.input.read()
+            if frame is not None:
+                batch[c.slot] = frame
+        out = self.pool.step(batch)
+        qdq = np.asarray(out["qdq"])
+        for c in clients:
+            line = (json.dumps({"t": self.ticks,
+                                "qdq": np.round(qdq[c.slot], 5).tolist()})
+                    + "\n").encode()
+            try:
+                c.conn.sendall(line)
+            except OSError:
+                self._drop(c)
+        self.ticks += 1
+
+    def run(self, seconds: Optional[float] = None):
+        self._running = True
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+        # identity orientations for empty slots
+        idle = np.zeros(72, np.float32)
+        idle[0] = idle[4] = idle[8] = 1.0
+        batch = np.tile(idle, (self.pool.capacity, 1))
+        dt = 1.0 / self.hz
+        t_end = time.time() + seconds if seconds else None
+        try:
+            while self._running and (t_end is None or time.time() < t_end):
+                t0 = time.perf_counter()
+                self._tick_once(batch)
+                sleep = dt - (time.perf_counter() - t0)
+                if sleep > 0:
+                    time.sleep(sleep)
+        finally:
+            self.stop()
+
+    def stop(self):
+        self._running = False
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+        with self._lock:
+            clients = list(self._clients.values())
+        for c in clients:
+            self._drop(c)
