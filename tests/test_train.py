@@ -209,3 +209,132 @@ def test_train_loop_writes_structured_metrics(tmp_path):
                 "wall_s"} <= set(r)
         assert np.isfinite(r["loss"])
     assert np.isfinite(epoch_recs[-1]["mean_loss"])
+
+
+def test_device_gather_matches_host_gather():
+    """The in-jit window gather (DeviceDataset) must produce the same batch
+    and the same train step result as the host-side gather."""
+    N = 96
+    info = np.array([[0, N, 1]], dtype=np.int64)
+    ds = data_lib.PackedDataset(
+        imu=RNG.normal(size=(N, 72)).astype(np.float32),
+        acc_sum=RNG.normal(size=(N, 18)).astype(np.float32),
+        s=RNG.normal(size=(N, 131)).astype(np.float32),
+        info=info,
+    )
+    T, B = 8, 4
+    ends = np.array([10, 33, 57, 90])
+    xh, sh, yh = data_lib.gather_batch(ds, ends, T)
+    dds = data_lib.to_device(ds)
+    xd, sd, yd = data_lib.device_gather(dds, jnp.asarray(ends, jnp.int32), T)
+    np.testing.assert_allclose(np.asarray(xd), xh, atol=0)
+    np.testing.assert_allclose(np.asarray(sd), sh, atol=0)
+    np.testing.assert_allclose(np.asarray(yd), yh, atol=0)
+
+    cfg = train_lib.TrainConfig(model=TINY, batch_size=B, seq_len=T,
+                                noise_input_hist=0.0, seed=0)
+    s0 = train_lib.init_state(cfg)
+    step_h = train_lib.make_train_step(cfg)
+    step_d = train_lib.make_train_step(cfg, device_data=dds)
+    sh1, aux_h = step_h(s0, jnp.asarray(xh), jnp.asarray(sh), jnp.asarray(yh))
+    sd1, aux_d = step_d(s0, jnp.asarray(ends, jnp.int32))
+    np.testing.assert_allclose(float(aux_d["loss"]), float(aux_h["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(sh1.params),
+                    jax.tree_util.tree_leaves(sd1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_train_loop_gather_on_device(tmp_path):
+    """train_loop(gather_on_device=True) runs end to end and learns."""
+    N = 128
+    info = np.array([[0, N, 1]], dtype=np.int64)
+    w = RNG.normal(size=(72, 131)).astype(np.float32) / 9.0
+    imu = RNG.normal(size=(N, 72)).astype(np.float32)
+    ds = data_lib.PackedDataset(
+        imu=imu,
+        acc_sum=RNG.normal(size=(N, 18)).astype(np.float32),
+        s=(imu @ w) * 0.3,
+        info=info,
+    )
+    cfg = train_lib.TrainConfig(model=TINY, batch_size=8, seq_len=8,
+                                lr=3e-3, epochs=3, noise_input_hist=0.0,
+                                seed=0, log_interval=1000)
+    losses = []
+    train_lib.train_loop(cfg, ds, max_epochs=3, gather_on_device=True,
+                         log_fn=lambda r: losses.append(r.get("mean_loss")))
+    vals = [l for l in losses if l is not None]
+    assert len(vals) == 3 and np.isfinite(vals).all()
+    assert vals[-1] < vals[0]
+
+
+def test_epoch_scan_matches_per_batch_steps():
+    """make_epoch_fn (whole epoch as one lax.scan program) must reproduce
+    the per-batch device-gather steps exactly, including the on-device
+    non-finite-loss rollback."""
+    N = 96
+    info = np.array([[0, N, 1]], dtype=np.int64)
+    ds = data_lib.PackedDataset(
+        imu=RNG.normal(size=(N, 72)).astype(np.float32),
+        acc_sum=RNG.normal(size=(N, 18)).astype(np.float32),
+        s=RNG.normal(size=(N, 131)).astype(np.float32),
+        info=info,
+    )
+    T, B, NB = 8, 4, 5
+    cfg = train_lib.TrainConfig(model=TINY, batch_size=B, seq_len=T,
+                                noise_input_hist=0.0, seed=0)
+    dds = data_lib.to_device(ds)
+    rng = np.random.default_rng(2)
+    ends = rng.integers(T, N - 1, size=(NB, B)).astype(np.int32)
+
+    s_loop = train_lib.init_state(cfg)
+    step_d = train_lib.make_train_step(cfg, device_data=dds)
+    losses = []
+    for i in range(NB):
+        s_loop, aux = step_d(s_loop, jnp.asarray(ends[i]))
+        losses.append(float(aux["loss"]))
+
+    epoch_fn = train_lib.make_epoch_fn(cfg, dds)
+    s_scan, aux_all = epoch_fn(train_lib.init_state(cfg), jnp.asarray(ends))
+    np.testing.assert_allclose(np.asarray(aux_all["loss"]), losses,
+                               rtol=1e-6)
+    assert not np.asarray(aux_all["skipped"]).any()
+    for a, b in zip(jax.tree_util.tree_leaves(s_scan.params),
+                    jax.tree_util.tree_leaves(s_loop.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert int(s_scan.step) == NB
+
+
+def test_epoch_scan_sharded_runs():
+    """Epoch scan over the (data, model) mesh compiles and runs."""
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=2)
+    N = 64
+    ds = data_lib.PackedDataset(
+        imu=RNG.normal(size=(N, 72)).astype(np.float32),
+        acc_sum=RNG.normal(size=(N, 18)).astype(np.float32),
+        s=RNG.normal(size=(N, 131)).astype(np.float32),
+        info=np.array([[0, N, 1]], dtype=np.int64),
+    )
+    cfg = train_lib.TrainConfig(model=TINY, batch_size=8, seq_len=8,
+                                noise_input_hist=0.0, seed=0)
+    dds = data_lib.to_device(ds, sharding=mesh_lib.replicated(mesh))
+    state = train_lib.shard_state(train_lib.init_state(cfg), mesh)
+    epoch_fn = train_lib.make_epoch_fn(cfg, dds, mesh=mesh)
+    ends = np.random.default_rng(3).integers(8, N - 1, size=(3, 8))
+    state, aux = epoch_fn(state, jnp.asarray(ends, jnp.int32))
+    assert np.isfinite(np.asarray(aux["loss"])).all()
+    assert int(state.step) == 3
+
+
+def test_rbg_dropout_rng_runs_and_is_deterministic():
+    """dropout_rng_impl="rbg" (TPU hardware generator fast path): finite,
+    and deterministic for a fixed state."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, dropout_rng_impl="rbg")
+    state = train_lib.init_state(cfg)
+    step = train_lib.make_train_step(cfg)
+    x_imu, x_s, y = synth_batch()
+    s1, aux1 = step(state, x_imu, x_s, y)
+    s2, aux2 = step(state, x_imu, x_s, y)
+    assert np.isfinite(float(aux1["loss"]))
+    np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]))

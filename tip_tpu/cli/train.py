@@ -38,6 +38,10 @@ def main():
                     help="tensor-parallel mesh axis size")
     ap.add_argument("--warm_start", default=None,
                     help="orbax ckpt dir or reference .pt: load weights only")
+    ap.add_argument("--device_data", action="store_true",
+                    help="upload the blobs to HBM and gather windows inside "
+                         "the compiled step (removes the host input "
+                         "bottleneck; blobs must fit in device memory)")
     ap.add_argument("--metrics", default=None,
                     help="structured jsonl training log (default: "
                          "<save_path>/metrics.jsonl)")
@@ -75,7 +79,8 @@ def main():
     import os
     metrics = args.metrics or os.path.join(args.save_path, "metrics.jsonl")
     train_lib.train_loop(cfg, ds, mesh=mesh, ckpt_dir=args.save_path,
-                         warm_start=args.warm_start, metrics_path=metrics)
+                         warm_start=args.warm_start, metrics_path=metrics,
+                         gather_on_device=args.device_data)
 
 
 if __name__ == "__main__":

@@ -93,3 +93,46 @@ def epoch_batches(ds: PackedDataset, seq_len: int, batch_size: int,
         yield gather_batch(ds, ends, seq_len)
     if not drop_remainder and len(idx) % batch_size:
         yield gather_batch(ds, idx[n_full * batch_size:], seq_len)
+
+
+# ---------------------------------------------------------------------------
+# On-device window gathering
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class DeviceDataset:
+    """Packed blobs resident in HBM; windows are gathered inside the jitted
+    train step from (B,) end indices, so the host->device transfer per step
+    is ~2 KB of indices instead of the ~14 MB materialised batch (the
+    host-side gather was the measured training bottleneck, PERF.md)."""
+    imu: "object"          # jax (N, 72)
+    acc_sum: "object"      # jax (N, 18) or None
+    s: "object"            # jax (N, state_dim)
+
+
+def to_device(ds: PackedDataset, sharding=None) -> DeviceDataset:
+    """Upload the blobs once (replicated across the mesh when given — the
+    gather indices are arbitrary, so every data shard needs the full blob)."""
+    import jax
+    import jax.numpy as jnp
+
+    def put(a):
+        if a is None:
+            return None
+        arr = jnp.asarray(np.ascontiguousarray(a, np.float32))
+        return jax.device_put(arr, sharding) if sharding is not None else arr
+
+    return DeviceDataset(imu=put(ds.imu), acc_sum=put(ds.acc_sum),
+                         s=put(ds.s))
+
+
+def device_gather(dds: DeviceDataset, ends, seq_len: int):
+    """jit-side equivalent of gather_batch: (B,) end indices -> windows."""
+    import jax.numpy as jnp
+
+    offs = jnp.arange(-seq_len, 0)
+    win = ends[:, None] + offs                  # (B, T)
+    x_imu = dds.imu[win]
+    if dds.acc_sum is not None:
+        x_imu = jnp.concatenate([x_imu, dds.acc_sum[win]], axis=-1)
+    return x_imu, dds.s[win], dds.s[win + 1]

@@ -23,6 +23,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 import numpy as np
 import optax
 from flax import struct
@@ -48,6 +49,10 @@ class TrainConfig:
     noise_input_hist: float = 0.15
     seed: int = 5104
     log_interval: int = 100
+    # "threefry" (jax default, reproducible across backends) | "rbg" (TPU
+    # hardware generator; the 16 dropout masks per step cost ~6 ms in
+    # threefry at the paper batch size — rbg reclaims a third of that)
+    dropout_rng_impl: str = "threefry"
 
 
 @struct.dataclass
@@ -95,6 +100,10 @@ def init_state(cfg: TrainConfig, key: Optional[jax.Array] = None) -> TrainState:
 
 def loss_fn(params, x_imu, x_s, y, rng, cfg: TrainConfig):
     """Composite loss (reference train_model.py:152-187)."""
+    if cfg.dropout_rng_impl == "rbg":
+        data = jax.random.key_data(rng)        # (2,) uint32 threefry data
+        rng = jax.random.wrap_key_data(jnp.concatenate([data, data]),
+                                       impl="rbg")
     k_noise, k_model = jax.random.split(rng)
     noise = (jax.random.uniform(k_noise, x_s.shape, x_s.dtype)
              - 0.5) * (2.0 * cfg.noise_input_hist)
@@ -112,9 +121,17 @@ def loss_fn(params, x_imu, x_s, y, rng, cfg: TrainConfig):
                    "loss_jerk": l_jerk}
 
 
-def make_train_step(cfg: TrainConfig, mesh=None):
+def make_train_step(cfg: TrainConfig, mesh=None, device_data=None):
     """Jitted train step; with a mesh, the batch shards over the data axis and
-    params follow parallel.mesh.param_shardings."""
+    params follow parallel.mesh.param_shardings.
+
+    device_data: optional train.data.DeviceDataset — the step then takes
+    (state, ends) and gathers the teacher-forced windows IN the compiled
+    program (host->device per step: a (B,) index vector instead of the
+    materialised ~14 MB batch; the host-side gather was the measured
+    training input bottleneck, PERF.md)."""
+    from tip_tpu.train import data as data_lib
+
     opt = make_optimizer(cfg)
 
     def step_fn(state: TrainState, x_imu, x_s, y):
@@ -128,11 +145,22 @@ def make_train_step(cfg: TrainConfig, mesh=None):
         return TrainState(params=params, opt_state=opt_state,
                           step=state.step + 1, rng=rng), aux
 
+    bs = mesh_lib.batch_sharding(mesh) if mesh is not None else None
+
+    if device_data is not None:
+        def gathered_step(state, ends):
+            if bs is not None:
+                ends = jax.lax.with_sharding_constraint(ends, bs)
+            x_imu, x_s, y = data_lib.device_gather(device_data, ends,
+                                                   cfg.seq_len)
+            return step_fn(state, x_imu, x_s, y)
+
+        if mesh is None:
+            return jax.jit(gathered_step)
+        return jax.jit(gathered_step, in_shardings=(None, bs))
+
     if mesh is None:
         return jax.jit(step_fn)
-
-    bs = mesh_lib.batch_sharding(mesh)
-    rep = mesh_lib.replicated(mesh)
 
     def sharded_step(state, x_imu, x_s, y):
         x_imu = jax.lax.with_sharding_constraint(x_imu, bs)
@@ -141,6 +169,58 @@ def make_train_step(cfg: TrainConfig, mesh=None):
         return step_fn(state, x_imu, x_s, y)
 
     return jax.jit(sharded_step, in_shardings=(None, bs, bs, bs))
+
+
+def make_epoch_fn(cfg: TrainConfig, device_data, mesh=None):
+    """Whole-epoch training as ONE compiled program.
+
+    With the blobs in HBM (data.DeviceDataset), an epoch is a lax.scan of
+    the train step over the epoch's (n_batches, B) window-end indices — one
+    dispatch per epoch instead of one per batch, removing every host round
+    trip from the hot loop. The reference re-materialises its sampled
+    windows on the host every epoch (training_data_loader.py:43-58).
+
+    The non-finite-loss guard (train_loop's failure detection) moves inside
+    the scan: a poisoned update is dropped on-device and reported in the
+    stacked aux as ``skipped``.
+
+    Returns epoch_fn(state, ends (n, B) int32) -> (state, aux) with aux
+    leaves stacked over batches.
+    """
+    from tip_tpu.train import data as data_lib
+
+    opt = make_optimizer(cfg)
+    bs = mesh_lib.batch_sharding(mesh) if mesh is not None else None
+
+    def body(state, ends):
+        if bs is not None:
+            ends = jax.lax.with_sharding_constraint(ends, bs)
+        x_imu, x_s, y = data_lib.device_gather(device_data, ends,
+                                               cfg.seq_len)
+        rng, sub = jax.random.split(state.rng)
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, x_imu, x_s, y, sub, cfg)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new = TrainState(params=params, opt_state=opt_state,
+                         step=state.step + 1, rng=rng)
+        ok = jnp.isfinite(aux["loss"])
+        kept = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, a, b), new,
+            TrainState(params=state.params, opt_state=state.opt_state,
+                       step=state.step, rng=rng))
+        aux["grad_norm"] = optax.global_norm(grads)
+        aux["lr"] = lr_schedule(cfg)(state.step)
+        aux["skipped"] = ~ok
+        return kept, aux
+
+    def epoch_fn(state, ends):
+        return jax.lax.scan(body, state, ends)
+
+    if mesh is None:
+        return jax.jit(epoch_fn)
+    es = NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS))
+    return jax.jit(epoch_fn, in_shardings=(None, es))
 
 
 def shard_state(state: TrainState, mesh) -> TrainState:
@@ -208,7 +288,8 @@ def restore_checkpoint(ckpt_dir: str, cfg: TrainConfig,
 def train_loop(cfg: TrainConfig, dataset, *, mesh=None, ckpt_dir=None,
                log_fn=print, max_epochs: Optional[int] = None,
                warm_start: Optional[str] = None,
-               metrics_path: Optional[str] = None):
+               metrics_path: Optional[str] = None,
+               gather_on_device: bool = False):
     """Full training driver (reference train_model.py:242-244 epoch loop).
 
     dataset: tip_tpu.train.data.PackedDataset. Returns the final TrainState.
@@ -220,6 +301,9 @@ def train_loop(cfg: TrainConfig, dataset, *, mesh=None, ckpt_dir=None,
     (utils.observability.MetricsWriter) — the reference logs by piping
     stdout prints to a file (README.md:103); here the metrics are
     structured and machine-readable.
+    gather_on_device: upload the blobs to HBM once and gather the windows
+    inside the compiled step (data.DeviceDataset) — per-step host traffic
+    drops to the index vector. Requires the blobs to fit in device memory.
     """
     from tip_tpu.train import data as data_lib
 
@@ -244,18 +328,33 @@ def train_loop(cfg: TrainConfig, dataset, *, mesh=None, ckpt_dir=None,
         state = state.replace(params=params)
     if mesh is not None:
         state = shard_state(state, mesh)
-    step_fn = make_train_step(cfg, mesh)
+    device_data = None
+    if gather_on_device:
+        rep = mesh_lib.replicated(mesh) if mesh is not None else None
+        device_data = data_lib.to_device(dataset, sharding=rep)
+    step_fn = make_train_step(cfg, mesh, device_data=device_data)
     np_rng = np.random.default_rng(cfg.seed)
+
+    def batches():
+        if device_data is not None:
+            idx = data_lib.sample_epoch_indices(dataset.info, cfg.seq_len,
+                                                np_rng)
+            for b in range(len(idx) // cfg.batch_size):
+                yield (jnp.asarray(
+                    idx[b * cfg.batch_size:(b + 1) * cfg.batch_size],
+                    jnp.int32),)
+        else:
+            for batch in data_lib.epoch_batches(dataset, cfg.seq_len,
+                                                cfg.batch_size, np_rng):
+                yield tuple(jnp.asarray(a) for a in batch)
 
     epochs = max_epochs if max_epochs is not None else cfg.epochs
     bad_steps = 0
     for ep in range(1, epochs + 1):
         running = []
-        for bi, (x_imu, x_s, y) in enumerate(data_lib.epoch_batches(
-                dataset, cfg.seq_len, cfg.batch_size, np_rng)):
+        for bi, batch in enumerate(batches()):
             prev_state = state
-            state, aux = step_fn(state, jnp.asarray(x_imu),
-                                 jnp.asarray(x_s), jnp.asarray(y))
+            state, aux = step_fn(state, *batch)
             loss = float(aux["loss"])
             if not np.isfinite(loss):
                 # failure detection: drop the poisoned update, keep training
