@@ -44,6 +44,9 @@ def main():
                     help="opt-in KV-cached serving (semantics documented in "
                          "PERF.md); the headline default is the "
                          "reference-parity recompute path")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the timed runs to "
+                         "this directory (utils.observability.profile_trace)")
     ap.add_argument("--forward_impl", default=None,
                     choices=["xla", "fused"],
                     help="fused = whole-model/whole-cached-step Pallas "
@@ -124,12 +127,14 @@ def main():
     # compile + warmup
     jax.block_until_ready(run(params, stream))
 
+    from tip_tpu.utils.observability import profile_trace
     reps = 3
     times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(params, stream))
-        times.append(time.perf_counter() - t0)
+    with profile_trace(args.profile):
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(params, stream))
+            times.append(time.perf_counter() - t0)
 
     per_frame_ms = float(min(times) / N * 1e3)
     baseline_ms = 1000.0 / 60.0                  # reference real-time budget

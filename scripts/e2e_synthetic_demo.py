@@ -97,6 +97,7 @@ def main():
     t0 = time.time()
     state = train_lib.train_loop(
         cfg, ds, ckpt_dir=os.path.join(args.out, "ckpt"),
+        gather_on_device=True,
         log_fn=lambda r: print(json.dumps(r)))
     print(f"trained {args.epochs} epochs in {time.time()-t0:.1f}s")
 

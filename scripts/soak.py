@@ -22,6 +22,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=36000)   # 10 min @ 60 Hz
     ap.add_argument("--chunk", type=int, default=3600)
+    ap.add_argument("--serving_mode", default="recompute",
+                    choices=["recompute", "kv_cache", "kv_cache_rnn_carry"])
     args = ap.parse_args()
 
     import jax
@@ -36,7 +38,8 @@ def main():
     from tip_tpu.runtime import runner as R
     from tip_tpu.runtime import terrain as terrain_lib
 
-    base_cfg = R.RunnerConfig(model=M.ModelConfig(rnn_impl="pallas"))
+    base_cfg = R.RunnerConfig(model=M.ModelConfig(rnn_impl="pallas"),
+                              serving_mode=args.serving_mode)
     fcfg = FR.FullRunnerConfig(base=base_cfg,
                                terrain=terrain_lib.TerrainConfig(),
                                multi_sbp=True)
@@ -80,6 +83,7 @@ def main():
 
     print(json.dumps({
         "metric": "soak_full_runner",
+        "serving_mode": args.serving_mode,
         "frames": args.frames,
         "ok": ok,
         "per_frame_ms": round(wall / args.frames * 1e3, 4),

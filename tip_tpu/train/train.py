@@ -279,6 +279,12 @@ def restore_checkpoint(ckpt_dir: str, cfg: TrainConfig,
                     f"{cfg.model.with_acc_sum}) — check the --five_sbp / "
                     f"--with_acc_sum flags used at training time. "
                     f"Original error: {e}") from e
+            if "w_qkv" in str(e) and "MISSING" in str(e):
+                raise ValueError(
+                    f"checkpoint at {ckpt_dir} uses the old packed-qkv "
+                    f"parameter layout; current checkpoints store q/k/v "
+                    f"separately (head-clean tensor parallelism). Re-export "
+                    f"the weights or retrain. Original error: {e}") from e
             raise
     return TrainState(params=restored["params"],
                       opt_state=restored["opt_state"],
