@@ -221,3 +221,30 @@ def test_eval_harness_full_runner_multi_sbp_and_hooks(pipeline_dir, tmp_path):
     diffs = [abs(results[True][k] - results[False][k])
              for k in ("angle_deg", "j_pos_cm")]
     assert max(diffs) > 0, results
+
+
+def test_gen_data_sharding_partitions_and_is_stable(tmp_path):
+    """Multi-host shards partition the job list exactly (no overlap, no
+    gaps) and each motion's RNG stream is independent of sharding/resume."""
+    from tip_tpu.cli import gen_data as G
+
+    src = tmp_path / "src" / "SubjectA"
+    src.mkdir(parents=True)
+    for i in range(9):
+        np.savez(src / f"take{i}_poses.npz", dummy=np.zeros(1))
+    save = str(tmp_path / "out")
+    os.makedirs(save, exist_ok=True)
+
+    all_jobs = sorted(d for _, d in G.iter_jobs(str(tmp_path / "src"), save, ""))
+    assert len(all_jobs) == 9
+    sharded = []
+    for k in range(3):
+        sharded += [d for _, d in G.iter_jobs(str(tmp_path / "src"), save, "",
+                                              shard_index=k, num_shards=3)]
+    assert sorted(sharded) == all_jobs
+    # resume: existing outputs are skipped without renumbering anything
+    open(all_jobs[0], "w").close()
+    remaining = [d for _, d in G.iter_jobs(str(tmp_path / "src"), save, "")]
+    assert sorted(remaining) == all_jobs[1:]
+    # the RNG stream key depends only on the output name
+    assert G._name_hash(all_jobs[3]) == G._name_hash(all_jobs[3])
