@@ -35,19 +35,22 @@ def main():
     T = 120
     stream = make_stream(T)
 
-    # (batch, compute_dtype, serving_mode, chunk)
+    # (batch, compute_dtype, serving_mode, chunk, forward_impl)
     configs = [
-        (256, None, "recompute", None),
-        (256, "bfloat16", "recompute", None),
-        (512, "bfloat16", "recompute", None),
-        (256, "bfloat16", "kv_cache", None),
-        (256, "bfloat16", "kv_cache_rnn_carry", None),
-        (512, "bfloat16", "kv_cache_rnn_carry", None),
-        (1024, "bfloat16", "kv_cache_rnn_carry", 256),
-        (2048, "bfloat16", "kv_cache_rnn_carry", 256),
+        (256, None, "recompute", None, "xla"),
+        (256, "bfloat16", "recompute", None, "xla"),
+        (512, "bfloat16", "recompute", None, "xla"),
+        (256, "bfloat16", "kv_cache", None, "xla"),
+        (256, "bfloat16", "kv_cache_rnn_carry", None, "xla"),
+        (256, "bfloat16", "kv_cache_rnn_carry", None, "fused"),
+        (512, "bfloat16", "kv_cache_rnn_carry", None, "fused"),
+        (1024, "bfloat16", "kv_cache_rnn_carry", None, "fused"),
+        (512, "bfloat16", "kv_cache", None, "fused"),
+        (2048, "bfloat16", "kv_cache_rnn_carry", None, "fused"),
     ]
-    for B, compute_dtype, mode, chunk in configs:
-        cfg = R.RunnerConfig(model=M.ModelConfig(compute_dtype=compute_dtype),
+    for B, compute_dtype, mode, chunk, fwd in configs:
+        cfg = R.RunnerConfig(model=M.ModelConfig(compute_dtype=compute_dtype,
+                                                 forward_impl=fwd),
                              serving_mode=mode)
         params = M.init_params(jax.random.PRNGKey(0), cfg.model)
         streams = jnp.asarray(np.broadcast_to(stream, (B, T, 72))
@@ -98,6 +101,7 @@ def main():
             "batch": B,
             "compute_dtype": compute_dtype or "float32",
             "serving_mode": mode,
+            "forward_impl": fwd,
             "chunk": chunk,
             "value": round(fps, 0),
             "unit": "frames/s/chip",

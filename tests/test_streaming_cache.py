@@ -234,3 +234,112 @@ def test_runner_fused_kv_cache_end_to_end(setup):
     assert np.isfinite(np.asarray(s_fused)).all()
     np.testing.assert_allclose(np.asarray(s_fused), np.asarray(s_ref),
                                atol=2e-3)
+
+
+@pytest.mark.parametrize("rnn_carry", [False, True])
+def test_fused_batch_matches_vmapped_xla(rnn_carry):
+    """fused_cached_batch == vmap(cached_forward_step with the global
+    cursor), including per-stream warmup (commit=False rows): outputs of
+    committed frames match, and all valid-masked state matches. Rings differ
+    only on invalid slots (the batched kernel writes unconditionally; the
+    XLA path copy-selects), which no read ever consumes."""
+    from tip_tpu.ops import fused_forward as FF
+    from tip_tpu.runtime import streaming_cache as SC
+
+    cfg = SMALL_F32
+    W, B = 8, 4
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.float32),
+        M.init_params(jax.random.PRNGKey(0), cfg))
+    packed = tuple(FF.pack_weights(params, cfg, dtype=jnp.float32))
+    rng = np.random.default_rng(0)
+
+    single = SC.cache_init(cfg, W)
+    cache_a = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), single)
+    cache_b = cache_a
+
+    def xla_step(cache, x, slot, commit):
+        new, y = SC.cached_forward_step(params, cache, x,
+                                        jnp.asarray(0, jnp.int32), cfg,
+                                        rnn_carry=rnn_carry,
+                                        slot_override=slot)
+        kept = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(commit, n, o), new, cache)
+        return kept, y
+
+    vstep = jax.jit(jax.vmap(xla_step, in_axes=(0, 0, None, 0)),
+                    static_argnames=())
+
+    # stream 0 active from t=0; stream 2 "joins" at t=3 (commit False before)
+    joins = np.array([0, 0, 3, 5])
+    T = 2 * W + 3
+    for t in range(T):
+        xs = jnp.asarray(rng.normal(size=(B, cfg.input_dim))
+                         .astype(np.float32))
+        commit = jnp.asarray(t >= joins)
+        slot = jnp.asarray(t % W, jnp.int32)
+        cache_a, y_a = vstep(cache_a, xs, slot, commit)
+        cache_b, y_b = SC.fused_cached_batch(
+            packed, cache_b, xs, slot, commit, cfg,
+            rnn_carry=rnn_carry, b_tile=2, interpret=True)
+        np.testing.assert_array_equal(np.asarray(cache_b.valid),
+                                      np.asarray(cache_a.valid))
+        act = np.asarray(commit)
+        np.testing.assert_allclose(np.asarray(y_b)[act],
+                                   np.asarray(y_a)[act], atol=2e-4,
+                                   err_msg=f"t={t}")
+        # valid-masked ring state must agree
+        vmask = np.asarray(cache_a.valid)                    # (B, W)
+        for name, axis in (("k", 2), ("v", 2), ("enc", 1)):
+            a = np.asarray(getattr(cache_a, name))
+            b = np.asarray(getattr(cache_b, name))
+            m = vmask[:, None, :, None] if axis == 2 else vmask[:, :, None]
+            np.testing.assert_allclose(np.where(m, b, 0.0),
+                                       np.where(m, a, 0.0), atol=2e-4,
+                                       err_msg=f"{name} t={t}")
+        np.testing.assert_allclose(np.asarray(cache_b.h)[act],
+                                   np.asarray(cache_a.h)[act], atol=2e-4)
+
+
+def test_runner_pool_fused_batch_dispatch(setup):
+    """forward_impl="fused" + a global pool tick dispatches the vmapped
+    runner step through the BATCHED fused kernel (custom_vmap); trajectories
+    must track the XLA cached pool path, including a mid-session join."""
+    _, _ = setup
+    skel = kin.amass_skeleton()
+    mcfg = M.ModelConfig(tf_in_dim=32, tf_hid_size=64, n_heads=4,
+                         tf_layers=2, rnn_hid_size=24,
+                         compute_dtype="float32")
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.float32),
+        M.init_params(jax.random.PRNGKey(0), mcfg))
+    B, T, JOIN = 2, 58, 9
+    s_init = jnp.asarray(TR.make_s_init().astype(np.float32))
+    streams = np.stack([TR.make_stream(T).astype(np.float32)
+                        for _ in range(B)])
+
+    outs = {}
+    for impl in ("xla", "fused"):
+        cfg = R.RunnerConfig(
+            model=M.ModelConfig(tf_in_dim=32, tf_hid_size=64, n_heads=4,
+                                tf_layers=2, rnn_hid_size=24,
+                                compute_dtype="float32", forward_impl=impl),
+            serving_mode="kv_cache")
+        step = R.make_multi_stream_step(cfg, skel)
+        carry0 = R.runner_init(cfg, skel, s_init)
+        carries = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), carry0)
+        qs = []
+        for t in range(T):
+            if t == JOIN:
+                fresh = R.runner_init(cfg, skel, s_init)
+                carries = jax.tree_util.tree_map(
+                    lambda pool, x: pool.at[1].set(x), carries, fresh)
+            carries, out = step(params, carries,
+                                jnp.asarray(streams[:, t]),
+                                jnp.asarray(t, jnp.int32))
+            qs.append(np.asarray(out["qdq"]))
+        outs[impl] = np.stack(qs)
+    assert np.isfinite(outs["fused"]).all()
+    np.testing.assert_allclose(outs["fused"], outs["xla"], atol=5e-3)

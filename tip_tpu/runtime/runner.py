@@ -225,17 +225,20 @@ def sense_and_predict(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
             parts.append(runsum / cst.ACC_SUM_DOWN_SCALE)
         x_token = jnp.concatenate(parts + [hist_t])
         rnn_carry = cfg.serving_mode == "kv_cache_rnn_carry"
-        if cfg.model.forward_impl == "fused" and tick is None:
+        if cfg.model.forward_impl == "fused":
             # whole cached step as ONE Pallas op (in-place ring updates;
-            # the commit flag replaces the warmup copy-on-select)
+            # the commit flag replaces the warmup copy-on-select). Under
+            # the pool's vmap with a global tick this dispatches to the
+            # BATCHED kernel via custom_vmap (streaming_cache).
             from tip_tpu.ops import fused_forward as FF
             pack_dtype = carry.cache.enc.dtype
             packed = tuple(FF.pack_weights(params, cfg.model,
                                            dtype=pack_dtype))
-            cache, y_t = SC.fused_cached_forward_step(
-                packed, carry.cache, x_token, carry.k, have_smoothed,
-                cfg.model, rnn_carry=rnn_carry,
-                interpret=jax.default_backend() != "tpu")
+            step = SC.auto_fused_step(cfg.model, rnn_carry,
+                                      jax.default_backend() != "tpu")
+            slot = (tick if tick is not None else carry.k) % W
+            cache, y_t = step(packed, carry.cache, x_token,
+                              jnp.asarray(slot, jnp.int32), have_smoothed)
         else:
             new_cache, y_t = SC.cached_forward_step(
                 params, carry.cache, x_token, carry.k, cfg.model,
