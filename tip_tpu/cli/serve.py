@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--with_acc_sum", action="store_true")
     ap.add_argument("--serving_mode", default="recompute",
                     choices=["recompute", "kv_cache", "kv_cache_rnn_carry"])
+    ap.add_argument("--forward_impl", default="xla", choices=["xla", "fused"],
+                    help="fused = the batched Pallas cached-step kernel "
+                         "(kv modes; 661k frames/s/chip measured, PERF.md)")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 compute (the serving throughput sweet "
                          "spot, PERF.md)")
@@ -46,6 +49,7 @@ def main():
     n_sbps = 5 if args.five_sbp else 2
     model_cfg = M.ModelConfig(
         size_s=cst.state_dim(n_sbps), with_acc_sum=args.with_acc_sum,
+        forward_impl=args.forward_impl,
         compute_dtype="bfloat16" if args.bf16 else None)
     if args.ckpt.endswith(".pt"):
         import torch
