@@ -124,3 +124,32 @@ def test_stream_pool_kv_cache_mode():
                                      jnp.asarray(batch[b]))
         np.testing.assert_allclose(q[:-1, b], np.asarray(s_traj)[1:T],
                                    atol=1e-9)
+
+
+def test_stream_pool_fused_batch_kernel():
+    """StreamPool + forward_impl="fused": the pool tick dispatches through
+    the batched Pallas kernel (custom_vmap) and matches the XLA pool."""
+    import dataclasses
+
+    small_f32 = dataclasses.replace(TR.SMALL_MODEL, compute_dtype="float32",
+                                    forward_impl="fused")
+    small_ref = dataclasses.replace(TR.SMALL_MODEL, compute_dtype="float32")
+    skel = kin.amass_skeleton()
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.float32),
+        M.init_params(jax.random.PRNGKey(0), small_ref))
+    s_init = TR.make_s_init()
+    T = 12
+    batch = np.stack([TR.make_stream(T) for _ in range(2)])
+
+    outs = {}
+    for name, mcfg in (("xla", small_ref), ("fused", small_f32)):
+        cfg = dataclasses.replace(TR.CFG, model=mcfg,
+                                  serving_mode="kv_cache")
+        pool = StreamPool(params, cfg, skel, capacity=2, dtype=jnp.float32)
+        pool.add_stream(s_init)
+        pool.add_stream(s_init)
+        qs = [np.asarray(pool.step(batch[:, t])["qdq"]) for t in range(T)]
+        outs[name] = np.stack(qs)
+    assert np.isfinite(outs["fused"]).all()
+    np.testing.assert_allclose(outs["fused"], outs["xla"], atol=5e-3)
