@@ -54,13 +54,9 @@ def main():
                          "TRAINED model, PERF.md)")
     args = ap.parse_args()
 
-    import jax
-    import jax.numpy as jnp
-
     from tip_tpu import eval_harness as H
     from tip_tpu.data_gen import amass_syn
     from tip_tpu.data_gen.combine import combine
-    from tip_tpu.models import tip_model as M
     from tip_tpu.runtime import runner as runner_lib
     from tip_tpu.train import data as data_lib
     from tip_tpu.train import train as train_lib

@@ -36,8 +36,6 @@ def main():
                     help="stop after N seconds (0 = until ^C)")
     args = ap.parse_args()
 
-    import numpy as np
-
     from tip_tpu import constants as cst
     from tip_tpu.models import tip_model as M
     from tip_tpu.runtime import calibration as cal_lib

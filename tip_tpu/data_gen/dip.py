@@ -26,7 +26,6 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 from scipy.spatial.transform import Rotation
 
-import jax.numpy as jnp
 
 from tip_tpu import constants as cst
 from tip_tpu.chars.amass import AMASS_CHAR

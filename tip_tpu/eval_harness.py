@@ -15,7 +15,7 @@ import os
 import pickle
 import random
 import re
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

@@ -6,7 +6,6 @@ DIP rows carry NaN root-velocity / SBP labels that must be excluded from the
 mean without changing array shapes.
 """
 
-import jax
 import jax.numpy as jnp
 
 

@@ -29,7 +29,6 @@ constructed with p=0, see tests/test_reference_parity.py).
 
 import math
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Dict, Optional
 
 import jax

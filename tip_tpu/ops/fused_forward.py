@@ -23,7 +23,6 @@ parity default; the fused path is inference-only (no dropout).
 
 import functools
 import math
-from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ The 6D ("two-axis") codec reproduces the reference's exact decode rule
 column is *not* re-orthogonalised against the first.
 """
 
-import jax
 import jax.numpy as jnp
 
 _EPS = 1e-12

@@ -11,7 +11,6 @@ Three pieces, all mask-based (no NaN control flow) so they jit/vmap/scan:
    data_utils.py:473-548).
 """
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

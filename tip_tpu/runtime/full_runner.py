@@ -25,7 +25,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from tip_tpu import constants as cst
 from tip_tpu.chars.amass import IK_CHAIN_BULLET, IK_CHAIN_NIMBLE
 from tip_tpu.ops import ik as ik_ops
 from tip_tpu.ops import kinematics as kin

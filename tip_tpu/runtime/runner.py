@@ -31,7 +31,7 @@ a numpy transcription in tests/test_runner.py):
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

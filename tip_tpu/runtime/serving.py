@@ -6,8 +6,7 @@ stacked carry with a per-slot active mask — one vmapped, jitted step serves
 the whole pool per tick; stream add/remove only touches one slot on the host.
 """
 
-import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

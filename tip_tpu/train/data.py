@@ -15,7 +15,7 @@ reference's preprocess_and_combine_syn_amass.py:16-178):
 """
 
 import dataclasses
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 

@@ -16,10 +16,8 @@ jerk + pose/root-vel + SBP.  Re-designed for TPU:
 """
 
 import dataclasses
-import math
 import os
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ spheres, and a GEOM_HEIGHTFIELD terrain mesh refreshed from the runner's
 region maps.
 """
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
