@@ -31,9 +31,9 @@ from tip_tpu.ops import kinematics as kin
 from tip_tpu.ops import rotations as rot
 from tip_tpu.ops import sbp as sbp_ops
 from tip_tpu.runtime import terrain as terrain_lib
-from tip_tpu.runtime.runner import (RunnerCarry, RunnerConfig,
-                                    _push_left_aligned, runner_init,
-                                    sense_and_predict, state_to_history)
+from tip_tpu.runtime.runner import (RunnerCarry, RunnerConfig, push_history,
+                                    runner_init, sense_and_predict,
+                                    state_to_history)
 
 # SBP order: lankle, rankle, lwrist, rwrist, root (chars.amass.SBP_LINKS)
 _TICK_LINKS = (0, 1, 4)     # lankle, rankle, root carry establishing ticks
@@ -134,7 +134,6 @@ def full_runner_step(params, carry: FullCarry, cur_imu,
     bcfg = cfg.base
     dtype = b.imu_win.dtype
     n_sbps = bcfg.n_sbps
-    W = bcfg.window
 
     (raw, k_new, imu_win, accsum_win, acc_runsum, out_buf, n_out, active,
      s_pred, c_pred, cache) = sense_and_predict(params, b, cur_imu, bcfg, rng)
@@ -210,9 +209,7 @@ def full_runner_step(params, carry: FullCarry, cur_imu,
 
     # ---- history push + carry ---------------------------------------------------
     hist = state_to_history(s_hist, c_t, n_sbps)
-    s_and_c_win = jnp.where(
-        active, _push_left_aligned(b.s_and_c_win, k_new, hist, W),
-        b.s_and_c_win)
+    s_and_c_win = push_history(bcfg, b.s_and_c_win, k_new, hist, active)
 
     out_qdq = jnp.where(active, s_t, b.s_init)
     out_viz = jnp.where(active, c_locs, jnp.full((n_sbps, 3), 100.0, dtype))

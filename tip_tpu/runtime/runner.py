@@ -86,16 +86,34 @@ def _filter_coeff(cfg: RunnerConfig, dtype):
     return jnp.asarray(0.6 ** np.arange(cfg.filter_len)[::-1], dtype)
 
 
+def _is_cached(cfg: RunnerConfig) -> bool:
+    return cfg.serving_mode != "recompute"
+
+
 @struct.dataclass
 class RunnerCarry:
-    """Fixed-shape runner state. All buffers are time-major rings."""
+    """Fixed-shape runner state. All buffers are time-major rings.
+
+    The big window buffers are mode-dependent (cfg is static, so each mode
+    compiles its own layout). The recompute forward needs the full
+    chronological windows; the kv-cache modes only ever read the newest
+    history entry and the 40-frame-old acc, so they keep O(1)-write
+    structures instead of O(window) shift-left pushes — the dominant
+    non-model HBM traffic of batched cached serving (PERF.md):
+
+      field        recompute                       kv-cache modes
+      imu_win      (40, 72) features, left-aligned (40, 18) circular acc ring
+      accsum_win   (40, 18) acc-sum, left-aligned  None
+      s_and_c_win  (40, state_dim), left-aligned   (state_dim,) newest entry
+      out_buf      (6, state_dim), newest last     (6, state_dim) circular
+    """
     t: jnp.ndarray                 # () int32 — frames seen so far
     raw_imu: jnp.ndarray           # (11, 72) raw ring, newest last
     k: jnp.ndarray                 # () int32 — valid smoothed frames (<= 40)
-    imu_win: jnp.ndarray           # (40, 72) root-local features, left-aligned
-    accsum_win: jnp.ndarray        # (40, 18) acc-sum features (unscaled)
+    imu_win: jnp.ndarray           # see class docstring
+    accsum_win: Optional[jnp.ndarray]  # acc-sum features (unscaled)
     acc_runsum: jnp.ndarray        # (18,) running 40-frame local-acc sum
-    s_and_c_win: jnp.ndarray       # (40, state_dim) autoregressive history
+    s_and_c_win: jnp.ndarray       # autoregressive history
     out_buf: jnp.ndarray           # (6, state_dim) raw outputs for the filter
     n_out: jnp.ndarray             # () int32 — outputs produced so far
     last_s: jnp.ndarray            # (114,) previous assembled state
@@ -125,19 +143,26 @@ def runner_init(cfg: RunnerConfig, skel: kin.Skeleton, s_init,
     s_init = jnp.asarray(s_init, dtype)
     sd = cfg.state_dim
     hist0 = state_to_history(s_init, jnp.zeros(cfg.n_sbps * 4, dtype), cfg.n_sbps)
-    s_and_c = jnp.zeros((cfg.window, sd), dtype).at[0].set(hist0)
     pq0 = kin.fk_our_state(skel, s_init)
     cache = None
-    if cfg.serving_mode != "recompute":
+    if _is_cached(cfg):
         from tip_tpu.runtime import streaming_cache as SC
         cache = SC.cache_init(cfg.model, cfg.window, dtype)
+        # O(1)-write buffers (see RunnerCarry docstring)
+        imu_win = jnp.zeros((cfg.window, cst.ACC_SUM_DIM), dtype)
+        accsum_win = None
+        s_and_c = hist0
+    else:
+        imu_win = jnp.zeros((cfg.window, cst.IMU_DIM), dtype)
+        accsum_win = jnp.zeros((cfg.window, cst.ACC_SUM_DIM), dtype)
+        s_and_c = jnp.zeros((cfg.window, sd), dtype).at[0].set(hist0)
     return RunnerCarry(
         cache=cache,
         t=jnp.zeros((), jnp.int32),
         raw_imu=jnp.zeros((cfg.smooth_win, cst.IMU_DIM), dtype),
         k=jnp.zeros((), jnp.int32),
-        imu_win=jnp.zeros((cfg.window, cst.IMU_DIM), dtype),
-        accsum_win=jnp.zeros((cfg.window, cst.ACC_SUM_DIM), dtype),
+        imu_win=imu_win,
+        accsum_win=accsum_win,
         acc_runsum=jnp.zeros((cst.ACC_SUM_DIM,), dtype),
         s_and_c_win=s_and_c,
         out_buf=jnp.zeros((cfg.filter_len, sd), dtype),
@@ -156,6 +181,17 @@ def _push_left_aligned(win, k, x, window: int):
     shifted = jnp.roll(win, -1, axis=0).at[window - 1].set(x)
     grown = win.at[jnp.minimum(k, window - 1)].set(x)
     return jnp.where(k < window, grown, shifted)
+
+
+def push_history(cfg: RunnerConfig, old_win, k_new, hist, active):
+    """Append a history entry per the mode's layout (RunnerCarry docstring):
+    recompute keeps the chronological left-aligned window the dense forward
+    consumes; the cached modes only ever read the NEWEST entry, stored as a
+    bare vector."""
+    if _is_cached(cfg):
+        return jnp.where(active, hist, old_win)
+    return jnp.where(active, _push_left_aligned(old_win, k_new, hist,
+                                                cfg.window), old_win)
 
 
 class SensedFrame(tuple):
@@ -192,34 +228,50 @@ def sense_and_predict(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
 
     # ---- 2. per-frame local features + acc-sum (ref :131-141) ---------------
     local = imu_ops.imu_rotate_to_local(smoothed[None])[0]
-    evicted = carry.imu_win[0, 54:72]                 # leaves 40-window on push
     win_full = carry.k >= W
-    runsum = carry.acc_runsum + local[54:72] - jnp.where(win_full, evicted, 0.0)
-
     k_new = jnp.where(have_smoothed, carry.k + 1, carry.k)
-    imu_win = jnp.where(have_smoothed,
-                        _push_left_aligned(carry.imu_win, carry.k, local, W),
-                        carry.imu_win)
-    accsum_win = jnp.where(have_smoothed,
-                           _push_left_aligned(carry.accsum_win, carry.k, runsum, W),
-                           carry.accsum_win)
+    if _is_cached(cfg):
+        # circular acc ring: the only window read the cached modes need is
+        # the 40-frame-old acc leaving the running sum. Cursor = global pool
+        # tick when provided (all streams then write the same slot — one
+        # dynamic-update-slice under vmap instead of a scatter), else the
+        # per-stream smoothed count; either walks consecutive slots, so the
+        # pre-write read at the cursor is exactly the entry W pushes ago.
+        cur = tick if tick is not None else carry.k
+        acc_slot = jnp.asarray(cur, jnp.int32) % W
+        zero = jnp.zeros((), jnp.int32)
+        evicted = jax.lax.dynamic_slice(
+            carry.imu_win, (acc_slot, zero), (1, cst.ACC_SUM_DIM))[0]
+        runsum = carry.acc_runsum + local[54:72] \
+            - jnp.where(win_full, evicted, 0.0)
+        row = jnp.where(have_smoothed, local[54:72], evicted)
+        imu_win = jax.lax.dynamic_update_slice(
+            carry.imu_win, row[None], (acc_slot, zero))
+        accsum_win = None
+    else:
+        evicted = carry.imu_win[0, 54:72]             # leaves 40-window on push
+        runsum = carry.acc_runsum + local[54:72] \
+            - jnp.where(win_full, evicted, 0.0)
+        imu_win = jnp.where(have_smoothed,
+                            _push_left_aligned(carry.imu_win, carry.k, local, W),
+                            carry.imu_win)
+        accsum_win = jnp.where(
+            have_smoothed,
+            _push_left_aligned(carry.accsum_win, carry.k, runsum, W),
+            carry.accsum_win)
     acc_runsum = jnp.where(have_smoothed, runsum, carry.acc_runsum)
 
     active = k_new >= 1          # model has at least one frame
 
     # ---- 3. model forward (ref :143-150) -------------------------------------
-    x_imu = imu_win
-    if cfg.with_acc_sum:
-        x_imu = jnp.concatenate(
-            [imu_win, accsum_win / cst.ACC_SUM_DOWN_SCALE], axis=-1)
     last_idx = jnp.maximum(k_new - 1, 0)
     cache = carry.cache
-    if cfg.serving_mode != "recompute":
+    if _is_cached(cfg):
         # KV-cached streaming: only the newest token runs the encoder
         # (runtime.streaming_cache; exact while the window grows)
         assert rng is None, "kv-cache serving is inference-only"
         from tip_tpu.runtime import streaming_cache as SC
-        hist_t = carry.s_and_c_win[jnp.minimum(last_idx, W - 1)]
+        hist_t = carry.s_and_c_win               # newest entry (cache layout)
         parts = [local]
         if cfg.with_acc_sum:
             parts.append(runsum / cst.ACC_SUM_DOWN_SCALE)
@@ -240,37 +292,62 @@ def sense_and_predict(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
             cache, y_t = step(packed, carry.cache, x_token,
                               jnp.asarray(slot, jnp.int32), have_smoothed)
         else:
-            new_cache, y_t = SC.cached_forward_step(
+            # commit (the smoothed-frame flag) gates the written rows inside
+            # the step — no full-cache copy-on-select out here
+            cache, y_t = SC.cached_forward_step(
                 params, carry.cache, x_token, carry.k, cfg.model,
-                rnn_carry=rnn_carry, slot_override=tick)
-            # only commit the push when a smoothed frame actually arrived
-            cache = jax.tree_util.tree_map(
-                lambda n, o: jnp.where(have_smoothed, n, o),
-                new_cache, carry.cache)
+                rnn_carry=rnn_carry, slot_override=tick,
+                commit=have_smoothed)
         y_t = y_t.astype(dtype)
-    elif cfg.model.forward_impl == "fused":
-        # whole-model Pallas kernel, single-output fast path
-        # (ops/fused_forward.fused_forward_last) — inference only
-        assert rng is None, "fused forward_impl is inference-only"
-        from tip_tpu.ops import fused_forward as FF
-        pack_dtype = jnp.dtype(cfg.model.compute_dtype or jnp.bfloat16)
-        packed = tuple(FF.pack_weights(params, cfg.model, dtype=pack_dtype))
-        x_full = jnp.concatenate([x_imu, carry.s_and_c_win], axis=-1)
-        y_t = FF.fused_forward_last(
-            packed, x_full, last_idx, cfg.model,
-            interpret=jax.default_backend() != "tpu").astype(dtype)
     else:
-        y = M.forward(params, x_imu[None], carry.s_and_c_win[None], cfg.model,
-                      rng=rng, train=rng is not None)
-        y_t = y[0, last_idx]                           # (state_dim,)
+        x_imu = imu_win
+        if cfg.with_acc_sum:
+            x_imu = jnp.concatenate(
+                [imu_win, accsum_win / cst.ACC_SUM_DOWN_SCALE], axis=-1)
+        if cfg.model.forward_impl == "fused":
+            # whole-model Pallas kernel, single-output fast path
+            # (ops/fused_forward.fused_forward_last) — inference only
+            assert rng is None, "fused forward_impl is inference-only"
+            from tip_tpu.ops import fused_forward as FF
+            pack_dtype = jnp.dtype(cfg.model.compute_dtype or jnp.bfloat16)
+            packed = tuple(FF.pack_weights(params, cfg.model,
+                                           dtype=pack_dtype))
+            x_full = jnp.concatenate([x_imu, carry.s_and_c_win], axis=-1)
+            y_t = FF.fused_forward_last(
+                packed, x_full, last_idx, cfg.model,
+                interpret=jax.default_backend() != "tpu").astype(dtype)
+        else:
+            y = M.forward(params, x_imu[None], carry.s_and_c_win[None],
+                          cfg.model, rng=rng, train=rng is not None)
+            y_t = y[0, last_idx]                       # (state_dim,)
 
     # ---- 4. exponential output filter (ref :87-112) --------------------------
-    out_buf = jnp.where(active,
-                        jnp.roll(carry.out_buf, -1, axis=0).at[-1].set(y_t),
-                        carry.out_buf)
-    n_out = jnp.where(active, carry.n_out + 1, carry.n_out)
     coeff = _filter_coeff(cfg, dtype)
-    y_smooth = jnp.sum(out_buf * coeff[:, None], axis=0) / jnp.sum(coeff)
+    if _is_cached(cfg):
+        # circular: one row write instead of an O(filter_len) roll (cursor
+        # logic mirrors the acc ring above). The filter sum gathers the ring
+        # into chronological order first so the f64 summation order — and
+        # therefore the bit-exact parity with the recompute mode — is
+        # preserved.
+        nf = cfg.filter_len
+        ocur = tick if tick is not None else carry.n_out
+        oslot = jnp.asarray(ocur, jnp.int32) % nf
+        zero = jnp.zeros((), jnp.int32)
+        sd = carry.out_buf.shape[-1]
+        old_row = jax.lax.dynamic_slice(carry.out_buf, (oslot, zero),
+                                        (1, sd))[0]
+        row = jnp.where(active, y_t, old_row)
+        out_buf = jax.lax.dynamic_update_slice(
+            carry.out_buf, row[None], (oslot, zero))
+        order = (oslot + 1 + jnp.arange(nf, dtype=jnp.int32)) % nf
+        filt_view = out_buf[order]                     # oldest..newest
+    else:
+        out_buf = jnp.where(active,
+                            jnp.roll(carry.out_buf, -1, axis=0).at[-1].set(y_t),
+                            carry.out_buf)
+        filt_view = out_buf
+    n_out = jnp.where(active, carry.n_out + 1, carry.n_out)
+    y_smooth = jnp.sum(filt_view * coeff[:, None], axis=0) / jnp.sum(coeff)
     y_f = jnp.where(n_out >= cfg.filter_len, y_smooth, y_t)
 
     st_2axis = y_f[:-n_sbps * 4 - 3]                   # (108,)
@@ -333,10 +410,7 @@ def runner_step(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
 
     # ---- 7. history push (ref :196) -------------------------------------------
     hist = state_to_history(s_t, c_t, n_sbps)
-    s_and_c_win = jnp.where(
-        active,
-        _push_left_aligned(carry.s_and_c_win, k_new, hist, W),
-        carry.s_and_c_win)
+    s_and_c_win = push_history(cfg, carry.s_and_c_win, k_new, hist, active)
 
     # ---- outputs / carry (warmup: return s_init, freeze state) ----------------
     out_qdq = jnp.where(active, s_t, carry.s_init)

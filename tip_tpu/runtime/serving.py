@@ -83,12 +83,16 @@ class StreamPool:
                         jax.tree_util.tree_map(unchunk, out))
         else:
             batched = vstep
+        # donate the carries: the kv-cache rings are updated by a
+        # dynamic-update-slice per tick, which XLA can only perform in place
+        # on a donated input — otherwise every tick copies the full
+        # (capacity, L, W, d) rings before writing one row
         if self._batch_sharding is not None:
             bs = self._batch_sharding
             self._step = jax.jit(batched, in_shardings=(None, bs, bs, None),
-                                 out_shardings=(bs, bs))
+                                 out_shardings=(bs, bs), donate_argnums=(1,))
         else:
-            self._step = jax.jit(batched)
+            self._step = jax.jit(batched, donate_argnums=(1,))
         self._tick = 0
         self._slot_init = jax.jit(
             lambda s: runner_lib.runner_init(cfg, self.skel, s, dtype))

@@ -70,7 +70,7 @@ def cache_init(cfg, window: int, dtype=jnp.float32) -> KVCache:
 
 def cached_forward_step(params, cache: KVCache, x_token, k_prev,
                         cfg, *, rnn_carry: bool = False,
-                        slot_override=None,
+                        slot_override=None, commit=None,
                         ) -> Tuple[KVCache, jnp.ndarray]:
     """One streaming token through the encoder with cached K/V.
 
@@ -86,6 +86,11 @@ def cached_forward_step(params, cache: KVCache, x_token, k_prev,
         of batched throughput (PERF.md). Per-slot validity then comes from
         the cache's ``valid`` ring (exact: post-warmup a stream pushes every
         tick, so the bits mark precisely its last <= W tokens).
+      commit: optional () bool — when False (smoothing warmup) the returned
+        cache equals the input cache: the written ring rows are gated by a
+        row-level select instead of the caller copy-selecting the whole
+        cache (O(row) instead of O(L*W*d) traffic). The returned y_t is
+        garbage in that case (never consumed by the runner).
     Returns (new_cache, y_t (size_s,)).
     """
     W = cache.enc.shape[0]
@@ -104,21 +109,26 @@ def cached_forward_step(params, cache: KVCache, x_token, k_prev,
     x = x_token @ params["in_linear"]["w"] + params["in_linear"]["b"]
     x = x[M.head_interleave_perm(cfg)]
 
+    commit_b = jnp.asarray(True if commit is None else commit, bool)
     if slot_override is None:
         slot = k_prev % W
         n_valid = jnp.minimum(k_prev + 1, W)   # tokens visible after push
         valid = jnp.arange(W) < n_valid        # left-aligned ring validity
-        valid_ring = cache.valid.at[slot].set(True)
+        valid_ring = jnp.where(commit_b, cache.valid.at[slot].set(True),
+                               cache.valid)
     else:
         slot = slot_override % W
         valid = cache.valid.at[slot].set(True)
-        valid_ring = valid
+        valid_ring = jnp.where(commit_b, valid, cache.valid)
 
     k_rings, v_rings = [], []
     for li, layer in enumerate(params["layers"]):
         q = x @ layer["w_q"] + layer["b_q"]
         kt = x @ layer["w_k"] + layer["b_k"]
         vt = x @ layer["w_v"] + layer["b_v"]
+        # row-level commit gate: an uncommitted step writes the old row back
+        kt = jnp.where(commit_b, kt, cache.k[li, slot].astype(kt.dtype))
+        vt = jnp.where(commit_b, vt, cache.v[li, slot].astype(vt.dtype))
         k_ring = cache.k[li].astype(kt.dtype).at[slot].set(kt)
         v_ring = cache.v[li].astype(vt.dtype).at[slot].set(vt)
         k_rings.append(k_ring)
@@ -139,7 +149,8 @@ def cached_forward_step(params, cache: KVCache, x_token, k_prev,
         f = f @ layer["ff2"]["w"] + layer["ff2"]["b"]
         x = M._layer_norm(x + f, layer["ln2_s"], layer["ln2_b"])
 
-    enc_ring = cache.enc.astype(x.dtype).at[slot].set(x)
+    enc_row = jnp.where(commit_b, x, cache.enc[slot].astype(x.dtype))
+    enc_ring = cache.enc.astype(x.dtype).at[slot].set(enc_row)
 
     rnn = params["rnn"]
     if rnn_carry:
@@ -148,7 +159,7 @@ def cached_forward_step(params, cache: KVCache, x_token, k_prev,
         pre = x @ rnn["w_ih"] + rnn["b_ih"] + rnn["b_hh"]
         h_new = jnp.tanh(pre + cache.h.astype(pre.dtype) @ rnn["w_hh"])
         h_t = h_new
-        h_carry = h_new
+        h_carry = jnp.where(commit_b, h_new, cache.h.astype(h_new.dtype))
     else:
         # replay from zero over the valid window in CHRONOLOGICAL order —
         # identical head math to the windowed forward. The ring is circular,
