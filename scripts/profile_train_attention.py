@@ -14,15 +14,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, reps=20):
-    out = jax.block_until_ready(fn(*args))
+def timeit(fn, x, iters=200, reps=5):
+    """Time fn amortised over `iters` sequential applications inside ONE jit
+    (the tunnel costs ~30 ms per dispatch; see CLAUDE.md). fn must map a
+    (B,T,d) x to something reducible; we fold the output back into x's dtype
+    so iterations are data-dependent (no DCE / no overlap)."""
+
+    @jax.jit
+    def loop(x):
+        def body(c, _):
+            o = fn(c)
+            # fold a scalar of the output back in to chain the iterations
+            s = jnp.sum(o.astype(jnp.float32)) * 1e-12
+            return c + s.astype(c.dtype), None
+
+        c, _ = jax.lax.scan(body, x, None, length=iters)
+        return c
+
+    jax.block_until_ready(loop(x))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(*args))
+        jax.block_until_ready(loop(x))
         ts.append(time.perf_counter() - t0)
-    del out
-    return min(ts) * 1e3
+    return min(ts) / iters * 1e3
 
 
 def main():
@@ -67,15 +82,48 @@ def main():
     def loss_wrap(f):
         def g(x):
             return jnp.sum(f(x).astype(jnp.float32) ** 2)
-        return jax.jit(jax.grad(g))
+        return jax.grad(g)
 
-    for name, f in [("attn_full", attn_heads),
-                    ("projections_only", projections_only),
-                    ("ff_block", ff_block),
-                    ("scores_only", scores_only)]:
-        fwd = timeit(jax.jit(f), x)
+    def _ln(v):
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.var(v, axis=-1, keepdims=True)
+        return (v - mu) * jax.lax.rsqrt(var + 1e-5)
+
+    def make_layer(dropout: bool):
+        def layer(x):
+            key = jax.random.fold_in(jax.random.PRNGKey(1), 0)
+            ks = jax.random.split(key, 4)
+
+            def drop(v, k, rate=0.1):
+                if not dropout:
+                    return v
+                keep = 1.0 - rate
+                m = jax.random.bernoulli(k, keep, v.shape)
+                return jnp.where(m, v / keep, 0.0)
+
+            q = (x @ wq).reshape(B, T, h, hd).transpose(0, 2, 1, 3)
+            k = (x @ wk).reshape(B, T, h, hd).transpose(0, 2, 1, 3)
+            v = (x @ wv).reshape(B, T, h, hd).transpose(0, 2, 1, 3)
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(hd) + mask
+            w = drop(jax.nn.softmax(s, axis=-1), ks[0])
+            o = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+            a = o.transpose(0, 2, 1, 3).reshape(B, T, d) @ wo
+            x = _ln(x + drop(a, ks[1]))
+            f = drop(jax.nn.relu(x @ w1), ks[2])
+            return _ln(x + drop(f @ w2, ks[3]))
+        return layer
+
+    cases = [("attn_full", attn_heads),
+             ("projections_only", projections_only),
+             ("ff_block", ff_block),
+             ("scores_only", scores_only),
+             ("layer_nodrop", make_layer(False)),
+             ("layer_dropout", make_layer(True))]
+    for name, f in cases:
+        fwd = timeit(f, x)
         bwd = timeit(loss_wrap(f), x)
-        print(f"{name:22s} fwd {fwd:7.3f} ms   fwd+bwd {bwd:7.3f} ms")
+        print(f"{name:22s} fwd {fwd:7.3f} ms   fwd+bwd {bwd:7.3f} ms",
+              flush=True)
 
 
 if __name__ == "__main__":
