@@ -5,8 +5,8 @@ through the runner step (vmap) for T frames (lax.scan), all on device.
 Covers the serving modes (runtime/streaming_cache.py): "recompute" (the
 reference-parity windowed forward), "kv_cache" (per-layer K/V rings, exact
 until the window slides), and "kv_cache_rnn_carry" (carried RNN hidden,
-one RNN step/frame). ``chunk`` applies lax.map VMEM blocking for pools
-beyond the ~256-512 stream sweet spot.
+one RNN step/frame). ``chunk`` applies optional lax.map VMEM
+blocking (the kv modes scale monotonically without it, PERF.md).
 
 Prints one JSON line per configuration.
 """

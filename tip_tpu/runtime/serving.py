@@ -6,6 +6,7 @@ stacked carry with a per-slot active mask — one vmapped, jitted step serves
 the whole pool per tick; stream add/remove only touches one slot on the host.
 """
 
+import threading
 from typing import Dict, Optional
 
 import jax
@@ -27,10 +28,12 @@ class StreamPool:
         batch) over the ``data`` axis so one pool spans a whole pod slice
         (SURVEY.md §2.8 multi-stream sharding). capacity must divide evenly.
 
-        chunk: process the pool in sub-batches of this size per tick
-        (lax.map). Beyond ~256-512 concurrent streams the per-tick working
-        set spills VMEM and throughput degrades (PERF.md); chunking keeps
-        large pools at the per-chunk rate. Must divide capacity.
+        chunk: optionally process the pool in sub-batches of this size per
+        tick (lax.map). With the O(1)-per-frame cache-mode buffers the
+        batched fused path now scales monotonically through at least 2048
+        streams (PERF.md), so the default (no chunking) is right for the kv
+        modes; chunking remains useful for very large recompute-mode pools.
+        Must divide capacity.
         """
         self.cfg = cfg
         self.capacity = capacity
@@ -96,17 +99,25 @@ class StreamPool:
         self._tick = 0
         self._slot_init = jax.jit(
             lambda s: runner_lib.runner_init(cfg, self.skel, s, dtype))
+        # step() donates the carries to the device (in-place ring updates),
+        # which invalidates the previous buffers — concurrent add_stream
+        # (e.g. the serve daemon's accept threads racing its ticker) must
+        # not read the pre-step reference, so every carry mutation is
+        # serialized here
+        self._carries_lock = threading.Lock()
 
     def add_stream(self, s_init: np.ndarray) -> int:
-        """Returns the slot id; raises if the pool is full."""
+        """Returns the slot id; raises if the pool is full. Thread-safe with
+        respect to a concurrent step()."""
         free = np.flatnonzero(~self.active)
         if len(free) == 0:
             raise RuntimeError("stream pool full")
         slot = int(free[0])
         fresh = self._slot_init(jnp.asarray(s_init, self._dtype))
-        self._carries = jax.tree_util.tree_map(
-            lambda pool, x: pool.at[slot].set(x), self._carries, fresh)
-        self.active[slot] = True
+        with self._carries_lock:
+            self._carries = jax.tree_util.tree_map(
+                lambda pool, x: pool.at[slot].set(x), self._carries, fresh)
+            self.active[slot] = True
         return slot
 
     def remove_stream(self, slot: int):
@@ -119,9 +130,10 @@ class StreamPool:
     def step(self, imu_batch: np.ndarray) -> Dict[str, np.ndarray]:
         """One 60 Hz tick for every slot. imu_batch: (capacity, 72); rows of
         inactive slots are ignored (computed but discarded)."""
-        self._carries, out = self._step(
-            self.params, self._carries,
-            jnp.asarray(imu_batch, self._dtype),
-            jnp.asarray(self._tick, jnp.int32))
-        self._tick += 1
+        with self._carries_lock:
+            self._carries, out = self._step(
+                self.params, self._carries,
+                jnp.asarray(imu_batch, self._dtype),
+                jnp.asarray(self._tick, jnp.int32))
+            self._tick += 1
         return out
