@@ -157,6 +157,27 @@ def test_eval_harness_end_to_end(pipeline_dir):
         assert np.isfinite(means[k]), (k, means)
 
 
+def test_eval_harness_cached_serving_mode(pipeline_dir):
+    """The 7-metric protocol runs under the KV-cached serving modes too
+    (cli/evaluate --serving_mode; full runner + kv_cache_rnn_carry here),
+    and pre-slide its trajectory is exactly the recompute protocol's."""
+    _, pkl_dir = pipeline_dir
+    tiny = M.ModelConfig(tf_in_dim=32, tf_hid_size=64, n_heads=4, tf_layers=2,
+                         rnn_hid_size=24)
+    params = M.init_params(jax.random.PRNGKey(0), tiny)
+    files = [os.path.join(pkl_dir, f) for f in sorted(os.listdir(pkl_dir))][:1]
+    for mode in ("kv_cache_rnn_carry",):
+        cfg = H.EvalConfig(
+            runner=runner_lib.RunnerConfig(model=tiny, serving_mode=mode),
+            use_full_runner=True, multi_sbp=True,
+            test_len=200, max_motions_per_cat=1)
+        per_motion, means, _ = H.evaluate(params, cfg, files,
+                                          log=lambda *a: None)
+        assert len(per_motion) == 1
+        for k in H.METRIC_NAMES:
+            assert np.isfinite(means[k]), (mode, k, means)
+
+
 def test_metrics_zero_for_perfect_prediction(pipeline_dir):
     _, pkl_dir = pipeline_dir
     with open(os.path.join(pkl_dir, "motion_0.pkl"), "rb") as f:

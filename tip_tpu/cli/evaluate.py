@@ -44,6 +44,15 @@ def main():
                     help="replay each motion in the PyBullet viewer: ours vs "
                          "GT + SBP markers + terrain (needs the pybullet "
                          "wheel; reference --compare_gt viz)")
+    ap.add_argument("--serving_mode", default="recompute",
+                    choices=["recompute", "kv_cache", "kv_cache_rnn_carry"],
+                    help="run the metric protocol under a KV-cached serving "
+                         "mode (semantics/divergence study in PERF.md); "
+                         "default is the reference-parity recompute path")
+    ap.add_argument("--forward_impl", default="xla",
+                    choices=["xla", "fused"],
+                    help="fused = whole-model / whole-cached-step Pallas "
+                         "kernel (bf16 weights; see PERF.md)")
     args = ap.parse_args()
 
     from tip_tpu import constants as cst
@@ -54,7 +63,8 @@ def main():
 
     n_sbps = 5 if args.five_sbp else 2
     model_cfg = M.ModelConfig(size_s=cst.state_dim(n_sbps),
-                              with_acc_sum=args.with_acc_sum)
+                              with_acc_sum=args.with_acc_sum,
+                              forward_impl=args.forward_impl)
 
     if args.ckpt.endswith(".pt"):
         import torch
@@ -66,7 +76,8 @@ def main():
 
     cfg = H.EvalConfig(
         runner=runner_lib.RunnerConfig(model=model_cfg, n_sbps=n_sbps,
-                                       with_acc_sum=args.with_acc_sum),
+                                       with_acc_sum=args.with_acc_sum,
+                                       serving_mode=args.serving_mode),
         use_full_runner=args.full_runner, multi_sbp=args.multi_sbp,
         test_len=args.test_len, seed=args.seed)
 
