@@ -101,6 +101,71 @@ def test_stream_pool_chunked_matches_unchunked():
                                    np.asarray(oa["qdq"]), atol=1e-12)
 
 
+def test_stream_pool_failed_tick_recovery():
+    """step() donates the carries, so a failed dispatch must rebuild the
+    pool (sessions restart from their stored init poses) instead of leaving
+    it pointing at deleted buffers."""
+    import pytest
+
+    params = M.init_params(jax.random.PRNGKey(0), TR.SMALL_MODEL,
+                           dtype=jnp.float64)
+    skel = kin.amass_skeleton(dtype=jnp.float64)
+    pool = StreamPool(params, TR.CFG, skel, capacity=2, dtype=jnp.float64)
+    s_init = TR.make_s_init()
+    pool.add_stream(s_init)
+    batch = np.stack([TR.make_stream(8)[0]] * 2)
+    for _ in range(8):
+        pool.step(batch)
+
+    orig = pool._step
+
+    def boom(*a, **k):
+        raise RuntimeError("injected tick failure")
+
+    pool._step = boom
+    with pytest.raises(RuntimeError, match="injected"):
+        pool.step(batch)
+    pool._step = orig
+
+    # the pool is usable and slot 0 restarted its session from s_init
+    out = pool.step(batch)
+    np.testing.assert_allclose(np.asarray(out["qdq"][0]), s_init, atol=1e-9)
+    assert pool.n_active == 1
+
+
+def test_stream_pool_concurrent_add_claims_unique_slots():
+    """The free-slot scan+claim is inside the carry lock: concurrent
+    add_stream calls must never be handed the same slot."""
+    import threading
+
+    params = M.init_params(jax.random.PRNGKey(0), TR.SMALL_MODEL,
+                           dtype=jnp.float64)
+    skel = kin.amass_skeleton(dtype=jnp.float64)
+    N = 8
+    pool = StreamPool(params, TR.CFG, skel, capacity=N, dtype=jnp.float64)
+    s_init = TR.make_s_init()
+    pool.add_stream(s_init)        # warm the jitted slot-write first
+    pool.remove_stream(0)
+
+    slots, errors = [], []
+    barrier = threading.Barrier(N)
+
+    def add():
+        try:
+            barrier.wait()
+            slots.append(pool.add_stream(s_init))
+        except Exception as e:     # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=add) for _ in range(N)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert sorted(slots) == list(range(N))
+
+
 def test_stream_pool_kv_cache_mode():
     """The pool serves the KV-cached runner unchanged (cache rides in the
     carry pytree)."""

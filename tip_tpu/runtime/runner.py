@@ -183,6 +183,19 @@ def _push_left_aligned(win, k, x, window: int):
     return jnp.where(k < window, grown, shifted)
 
 
+def _ring_push(buf, cursor, new_row, write_gate):
+    """Circular-buffer push shared by the cache-mode acc ring and output-
+    filter ring: read the old row at the cursor, write back either the new
+    row or (when gated off) the old row — one dynamic-update-slice instead
+    of an O(rows) shift. Returns (old_row, new_buf)."""
+    slot = jnp.asarray(cursor, jnp.int32) % buf.shape[0]
+    zero = jnp.zeros((), jnp.int32)
+    old_row = jax.lax.dynamic_slice(
+        buf, (slot, zero), (1, buf.shape[1]))[0]
+    row = jnp.where(write_gate, new_row, old_row)
+    return old_row, jax.lax.dynamic_update_slice(buf, row[None], (slot, zero)), slot
+
+
 def push_history(cfg: RunnerConfig, old_win, k_new, hist, active):
     """Append a history entry per the mode's layout (RunnerCarry docstring):
     recompute keeps the chronological left-aligned window the dense forward
@@ -238,15 +251,10 @@ def sense_and_predict(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
         # per-stream smoothed count; either walks consecutive slots, so the
         # pre-write read at the cursor is exactly the entry W pushes ago.
         cur = tick if tick is not None else carry.k
-        acc_slot = jnp.asarray(cur, jnp.int32) % W
-        zero = jnp.zeros((), jnp.int32)
-        evicted = jax.lax.dynamic_slice(
-            carry.imu_win, (acc_slot, zero), (1, cst.ACC_SUM_DIM))[0]
+        evicted, imu_win, _ = _ring_push(carry.imu_win, cur, local[54:72],
+                                         have_smoothed)
         runsum = carry.acc_runsum + local[54:72] \
             - jnp.where(win_full, evicted, 0.0)
-        row = jnp.where(have_smoothed, local[54:72], evicted)
-        imu_win = jax.lax.dynamic_update_slice(
-            carry.imu_win, row[None], (acc_slot, zero))
         accsum_win = None
     else:
         evicted = carry.imu_win[0, 54:72]             # leaves 40-window on push
@@ -331,14 +339,7 @@ def sense_and_predict(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
         # preserved.
         nf = cfg.filter_len
         ocur = tick if tick is not None else carry.n_out
-        oslot = jnp.asarray(ocur, jnp.int32) % nf
-        zero = jnp.zeros((), jnp.int32)
-        sd = carry.out_buf.shape[-1]
-        old_row = jax.lax.dynamic_slice(carry.out_buf, (oslot, zero),
-                                        (1, sd))[0]
-        row = jnp.where(active, y_t, old_row)
-        out_buf = jax.lax.dynamic_update_slice(
-            carry.out_buf, row[None], (oslot, zero))
+        _, out_buf, oslot = _ring_push(carry.out_buf, ocur, y_t, active)
         order = (oslot + 1 + jnp.arange(nf, dtype=jnp.int32)) % nf
         filt_view = out_buf[order]                     # oldest..newest
     else:
@@ -388,7 +389,6 @@ def runner_step(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
     Returns (carry', dict(qdq, viz_locs, ct))."""
     dtype = carry.imu_win.dtype
     n_sbps = cfg.n_sbps
-    W = cfg.window
     (raw, k_new, imu_win, accsum_win, acc_runsum, out_buf, n_out, active,
      s_t, c_t, cache) = sense_and_predict(params, carry, cur_imu, cfg, rng,
                                           tick=tick)

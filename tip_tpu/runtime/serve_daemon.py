@@ -151,7 +151,13 @@ class ServeDaemon:
         try:
             while self._running and (t_end is None or time.time() < t_end):
                 t0 = time.perf_counter()
-                self._tick_once(batch)
+                try:
+                    self._tick_once(batch)
+                except Exception as e:          # noqa: BLE001 — keep serving
+                    # a failed tick rebuilds the pool state (StreamPool.step
+                    # donation recovery); log and keep the 60 Hz loop alive
+                    self.log(f"tick {self.ticks} failed ({e!r}); "
+                             f"pool rebuilt, sessions restarted")
                 sleep = dt - (time.perf_counter() - t0)
                 if sleep > 0:
                     time.sleep(sleep)

@@ -62,6 +62,9 @@ class StreamPool:
                 self._carries)
 
         self.active = np.zeros(capacity, bool)
+        # per-slot init poses, kept host-side so a failed donated tick can
+        # rebuild the pool (see step)
+        self._s_inits = np.zeros((capacity, 2 * cst.N_DOFS), np.float64)
 
         def one(params, carry, imu_t, tick):
             return runner_lib.runner_step(params, carry, imu_t, cfg,
@@ -99,25 +102,34 @@ class StreamPool:
         self._tick = 0
         self._slot_init = jax.jit(
             lambda s: runner_lib.runner_init(cfg, self.skel, s, dtype))
+        # one donated dispatch for a slot write: in-place dynamic-update per
+        # leaf instead of ~17 eager whole-pool copies (slot is traced, so
+        # adds don't recompile per slot)
+        self._slot_write = jax.jit(
+            lambda pool, fresh, slot: jax.tree_util.tree_map(
+                lambda p, x: jax.lax.dynamic_update_index_in_dim(
+                    p, x.astype(p.dtype), slot, 0), pool, fresh),
+            donate_argnums=(0,))
         # step() donates the carries to the device (in-place ring updates),
         # which invalidates the previous buffers — concurrent add_stream
         # (e.g. the serve daemon's accept threads racing its ticker) must
-        # not read the pre-step reference, so every carry mutation is
-        # serialized here
+        # not read the pre-step reference, so every carry mutation AND the
+        # free-slot scan/claim are serialized here
         self._carries_lock = threading.Lock()
 
     def add_stream(self, s_init: np.ndarray) -> int:
         """Returns the slot id; raises if the pool is full. Thread-safe with
-        respect to a concurrent step()."""
-        free = np.flatnonzero(~self.active)
-        if len(free) == 0:
-            raise RuntimeError("stream pool full")
-        slot = int(free[0])
+        respect to a concurrent step() and other add_stream calls."""
         fresh = self._slot_init(jnp.asarray(s_init, self._dtype))
         with self._carries_lock:
-            self._carries = jax.tree_util.tree_map(
-                lambda pool, x: pool.at[slot].set(x), self._carries, fresh)
+            free = np.flatnonzero(~self.active)
+            if len(free) == 0:
+                raise RuntimeError("stream pool full")
+            slot = int(free[0])
+            self._carries = self._slot_write(
+                self._carries, fresh, jnp.asarray(slot, jnp.int32))
             self.active[slot] = True
+            self._s_inits[slot] = np.asarray(s_init, np.float64)
         return slot
 
     def remove_stream(self, slot: int):
@@ -127,13 +139,42 @@ class StreamPool:
     def n_active(self) -> int:
         return int(self.active.sum())
 
+    def _rebuild_carries(self):
+        """Recreate the pool state from the stored per-slot init poses.
+        Active streams restart their sessions (smoothing warmup + fresh
+        cache) — degraded but well-defined recovery."""
+        zero_init = jnp.zeros(2 * cst.N_DOFS, self._dtype)
+        single = self._slot_init(zero_init)
+        carries = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (self.capacity,) + x.shape).copy(),
+            single)
+        if self._batch_sharding is not None:
+            carries = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self._batch_sharding), carries)
+        for slot in np.flatnonzero(self.active):
+            fresh = self._slot_init(jnp.asarray(self._s_inits[slot],
+                                                self._dtype))
+            carries = self._slot_write(carries, fresh,
+                                       jnp.asarray(int(slot), jnp.int32))
+        self._carries = carries
+
     def step(self, imu_batch: np.ndarray) -> Dict[str, np.ndarray]:
         """One 60 Hz tick for every slot. imu_batch: (capacity, 72); rows of
-        inactive slots are ignored (computed but discarded)."""
+        inactive slots are ignored (computed but discarded).
+
+        The carries are DONATED to the tick (in-place ring updates), so a
+        failed dispatch would otherwise leave the pool pointing at deleted
+        buffers; on error the pool state is rebuilt from the per-slot init
+        poses (active sessions restart) before re-raising, keeping the pool
+        usable for the next tick."""
         with self._carries_lock:
-            self._carries, out = self._step(
-                self.params, self._carries,
-                jnp.asarray(imu_batch, self._dtype),
-                jnp.asarray(self._tick, jnp.int32))
+            try:
+                self._carries, out = self._step(
+                    self.params, self._carries,
+                    jnp.asarray(imu_batch, self._dtype),
+                    jnp.asarray(self._tick, jnp.int32))
+            except Exception:
+                self._rebuild_carries()
+                raise
             self._tick += 1
         return out
