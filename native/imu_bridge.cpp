@@ -152,6 +152,10 @@ int main(int argc, char** argv) {
       return 2;
     }
   }
+  if (hz <= 0.0) {  // atof returns 0 for typos; 0/negative would hang/flood
+    fprintf(stderr, "--hz must be a positive number (got %g)\n", hz);
+    return 2;
+  }
   if (use_stdin) return RunStdin(port);
   if (!replay.empty()) return RunReplay(replay, port, hz);
   fprintf(stderr, "need --replay or --stdin\n");

@@ -150,8 +150,24 @@ int tip_urdf_parse(const char* path, int max_joints, int* parent,
   enum Ctx { NONE, LINK, LINK_INERTIAL, JOINT } ctx = NONE;
   std::string cur_link;
   JointInfo cur_joint;
+  // non-kinematic URDF blocks whose children (including <joint> tags with
+  // transmission semantics) must not be mistaken for kinematic elements
+  int skip_depth = 0;
+  std::string skip_tag;
 
   while (scanner.Next(&tag, &attrs)) {
+    if (skip_depth > 0) {
+      if (tag == skip_tag && !scanner.self_closed()) skip_depth++;
+      else if (tag == "/" + skip_tag) skip_depth--;
+      continue;
+    }
+    if (tag == "transmission" || tag == "gazebo" || tag == "sensor") {
+      if (!scanner.self_closed()) {
+        skip_depth = 1;
+        skip_tag = tag;
+      }
+      continue;
+    }
     if (tag == "link") {
       ctx = LINK;
       cur_link = attrs["name"];
@@ -168,11 +184,17 @@ int tip_urdf_parse(const char* path, int max_joints, int* parent,
     } else if (tag == "mass" && ctx == LINK_INERTIAL) {
       if (attrs.count("value")) links[cur_link].mass = atof(attrs["value"].c_str());
     } else if (tag == "joint") {
-      // <joint> inside <transmission> etc. not supported; URDF top level only
-      ctx = JOINT;
       cur_joint = JointInfo{};
       cur_joint.name = attrs["name"];
       cur_joint.fixed = attrs["type"] == "fixed";
+      if (scanner.self_closed()) {
+        // degenerate <joint .../> — record it (it will fail link checks
+        // below) without leaving ctx stuck at JOINT
+        joints.push_back(cur_joint);
+        ctx = NONE;
+      } else {
+        ctx = JOINT;
+      }
     } else if (tag == "/joint") {
       if (ctx == JOINT) joints.push_back(cur_joint);
       ctx = NONE;
@@ -188,6 +210,15 @@ int tip_urdf_parse(const char* path, int max_joints, int* parent,
 
   int n = static_cast<int>(joints.size());
   if (n == 0 || n > max_joints || link_order.empty()) return -2;
+
+  // every joint must reference declared links — a typo'd <child link=...>
+  // must be a parse error, not a silently default-constructed link
+  for (int j = 0; j < n; j++) {
+    if (joints[j].child.empty() || links.count(joints[j].child) == 0 ||
+        joints[j].parent.empty() || links.count(joints[j].parent) == 0) {
+      return -5;  // joint references an undeclared link
+    }
+  }
 
   const std::string& root = link_order.front();
   std::map<std::string, int> child_to_idx;

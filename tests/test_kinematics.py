@@ -177,3 +177,55 @@ def test_runner_fk_impl_pallas_matches_xla():
         s, _, _ = R.run_offline(params, cfg, skel, s_init, imu)
         outs[impl] = np.asarray(s)
     np.testing.assert_allclose(outs["pallas"], outs["xla"], atol=5e-5)
+
+
+_ROBUST_URDF = """<?xml version="1.0"?>
+<robot name="t">
+  <link name="base"><inertial><origin xyz="0 0 0"/><mass value="1"/></inertial></link>
+  <link name="a"><inertial><origin xyz="0.1 0 0"/><mass value="2"/></inertial></link>
+  <link name="b"><inertial><origin xyz="0 0.2 0"/><mass value="3"/></inertial></link>
+  <!-- child joint listed BEFORE its parent joint: forward reference -->
+  <joint name="j_ab" type="spherical">
+    <origin xyz="0 0 0.5"/><parent link="a"/><child link="b"/>
+  </joint>
+  <joint name="j_base_a" type="spherical">
+    <origin xyz="0 0 1"/><parent link="base"/><child link="a"/>
+  </joint>
+  <transmission name="tr">
+    <joint name="j_base_a"><hardwareInterface/></joint>
+  </transmission>
+</robot>
+"""
+
+
+def test_urdf_parsers_forward_refs_and_ignored_blocks(tmp_path):
+    """Review findings: (a) <joint> inside <transmission> must not become a
+    kinematic joint; (b) a child joint listed before its parent joint parses
+    in both parsers; (c) _levels handles the resulting order."""
+    from tip_tpu.utils import urdf as urdf_lib
+
+    p = tmp_path / "robust.urdf"
+    p.write_text(_ROBUST_URDF)
+    for parser in (urdf_lib._parse_python,
+                   urdf_lib._parse_native):
+        sk = parser(str(p))
+        if sk is None:            # native .so not built in this checkout
+            continue
+        assert sk.joint_names == ["j_ab", "j_base_a"], parser
+        np.testing.assert_array_equal(sk.parent, [1, -1])
+        np.testing.assert_allclose(sk.link_mass, [1.0, 3.0, 2.0])
+    # level grouping works with the child-before-parent joint order
+    assert kin._levels((1, -1)) == ((1,), (0,))
+
+
+def test_urdf_parsers_reject_undeclared_link(tmp_path):
+    """A typo'd <child link=...> must be a parse error in BOTH parsers, not
+    a silently default-constructed zero-mass link (review finding)."""
+    from tip_tpu.utils import urdf as urdf_lib
+
+    bad = _ROBUST_URDF.replace('<child link="b"/>', '<child link="bb"/>')
+    p = tmp_path / "bad.urdf"
+    p.write_text(bad)
+    with pytest.raises(ValueError):
+        urdf_lib._parse_python(str(p))
+    assert urdf_lib._parse_native(str(p)) is None

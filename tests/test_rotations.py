@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 from scipy.spatial.transform import Rotation
 
+import jax
 import jax.numpy as jnp
 from tip_tpu.ops import rotations as rot
 
@@ -126,3 +127,19 @@ def test_slerp_endpoints_and_midpoint():
     a0 = np.linalg.norm(np.asarray(rot.q_to_aa(rot.q_mult(rot.q_inv(q0), qm))), axis=-1)
     a1 = np.linalg.norm(np.asarray(rot.q_to_aa(rot.q_mult(rot.q_inv(qm), q1))), axis=-1)
     np.testing.assert_allclose(a0, a1, atol=1e-7)
+
+
+def test_grad_finite_at_zero_rotation():
+    """aa_to_q / q_to_aa must have finite (zero) gradients at the zero
+    rotation / identity quaternion — the naive norm() derivative is NaN
+    there and poisons any gradient through a T-pose joint (review finding;
+    _safe_norm clamps the squared norm like the Pallas FK kernel)."""
+    g = jax.grad(lambda a: jnp.sum(rot.aa_to_q(a)))(jnp.zeros(3))
+    assert np.isfinite(np.asarray(g)).all(), g
+    ident = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+    g2 = jax.grad(lambda q: jnp.sum(rot.q_to_aa(q)))(ident)
+    assert np.isfinite(np.asarray(g2)).all(), g2
+    # primal unchanged away from zero (the clamp is below 1e-12 norms)
+    aa = jnp.asarray([0.3, -0.2, 0.9])
+    np.testing.assert_allclose(
+        np.asarray(rot.q_to_aa(rot.aa_to_q(aa))), np.asarray(aa), atol=1e-12)

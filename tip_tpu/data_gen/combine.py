@@ -117,6 +117,12 @@ def combine(dataset_dirs: Sequence[str], downsample_rates: Sequence[int],
             info.append([start_f, end_f, rate])
             start_f = end_f
 
+    if not imus:
+        raise ValueError(
+            f"no motions to pack: nothing under {list(dataset_dirs)} "
+            f"survived the name_contains filter "
+            f"({name_contains or 'none'}) and the min-length check — "
+            f"check the directories and filters")
     info = np.array(info, np.int64)
     np.save(f"{out_prefix}_imu.npy", np.concatenate(imus))
     np.save(f"{out_prefix}_sum_imu.npy", np.concatenate(sums))

@@ -44,7 +44,12 @@ class SmplMotion:
 
     @property
     def length_s(self) -> float:
-        return len(self.poses) / self.fps
+        # fairmotion Motion.length() semantics: the TIME OF THE LAST FRAME,
+        # (n-1)/fps, not n/fps — the reference's resample loop runs
+        # `while cur_time < m.length()` (data-gen-and-viz-bullet-new.py:47),
+        # so n/fps would emit up to one extra (clamped-repeat) frame per
+        # motion vs the reference's grid
+        return (len(self.poses) - 1) / self.fps
 
 
 def load_amass_npz(path) -> SmplMotion:

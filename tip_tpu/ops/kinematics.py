@@ -69,13 +69,27 @@ def skeleton_from_urdf(urdf, scale: float = 1.0, dtype=jnp.float32) -> Skeleton:
 
 
 def _levels(parent) -> Tuple[Tuple[int, ...], ...]:
-    """Group joints by tree depth so each level runs as one batched op."""
-    depth = {}
-    for j, p in enumerate(parent):
-        depth[j] = 0 if p == -1 else depth[p] + 1
+    """Group joints by tree depth so each level runs as one batched op.
+
+    Order-independent: a URDF may list a child joint before its parent
+    (the native parser resolves such forward references), so depths are
+    computed by fixpoint rather than assuming parents appear first."""
+    n = len(parent)
+    depth = {j: 0 for j, p in enumerate(parent) if p == -1}
+    while len(depth) < n:
+        progressed = False
+        for j, p in enumerate(parent):
+            if j not in depth and p in depth:
+                depth[j] = depth[p] + 1
+                progressed = True
+        if not progressed:
+            missing = [j for j in range(n) if j not in depth]
+            raise ValueError(
+                f"skeleton parent table has a cycle or dangling parents "
+                f"for joints {missing} (parent={tuple(parent)})")
     out = []
     for d in range(max(depth.values()) + 1):
-        out.append(tuple(j for j in range(len(parent)) if depth[j] == d))
+        out.append(tuple(j for j in range(n) if depth[j] == d))
     return tuple(out)
 
 
@@ -140,7 +154,7 @@ _ACTIVE = np.array(AMASS_CHAR.non_root_active_idx, np.int32)  # (17,)
 
 
 def our_pose_to_bullet(s):
-    """Nimble-ordered state (..., 114) -> bullet-ordered pose q (..., 60).
+    """Nimble-ordered state (..., 114) -> bullet-ordered pose q (..., 57).
 
     Matches reference data_utils.our_pose_2_bullet_format (data_utils.py:246-259):
     [root xyz, root aa, 17 x joint aa in bullet joint order].
@@ -151,7 +165,7 @@ def our_pose_to_bullet(s):
 
 
 def bullet_pose_to_joint_quats(state_bullet):
-    """Bullet pose q (..., 60) -> (root_p, root_q, joint_q (..., 19, 4)).
+    """Bullet pose q (..., 57) -> (root_p, root_q, joint_q (..., 19, 4)).
 
     Fixed wrists get identity local rotations.
     """

@@ -64,9 +64,19 @@ def q_normalize(q):
     return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
 
 
+def _safe_norm(v):
+    """norm(v) with a clean (zero) gradient at v = 0: the norm's derivative
+    is undefined there and naive where-tricks only guard the primal — the
+    NaN still leaks through sqrt's backward. Clamping the sum of squares at
+    1e-24 (like the Pallas FK kernel) keeps the primal bit-identical for
+    |v| >= 1e-12 and makes the gradient exactly 0 at the origin."""
+    return jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True),
+                                1e-24))
+
+
 def aa_to_q(aa):
-    """Rotation vector -> quaternion (xyzw)."""
-    angle = jnp.linalg.norm(aa, axis=-1, keepdims=True)
+    """Rotation vector -> quaternion (xyzw). grad-safe at zero rotation."""
+    angle = _safe_norm(aa)
     half = 0.5 * angle
     # sin(θ/2)/θ with a 2nd-order Taylor fallback near zero
     small = angle < 1e-6
@@ -76,10 +86,11 @@ def aa_to_q(aa):
 
 
 def q_to_aa(q):
-    """Quaternion (xyzw) -> rotation vector with angle in [0, π]."""
+    """Quaternion (xyzw) -> rotation vector with angle in [0, π]. grad-safe
+    at the identity quaternion."""
     q = q * jnp.sign(jnp.where(q[..., 3:4] == 0.0, 1.0, q[..., 3:4]))
     v = q[..., :3]
-    s = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    s = _safe_norm(v)
     w = q[..., 3:4]
     angle = 2.0 * jnp.arctan2(s, w)
     small = s < 1e-6

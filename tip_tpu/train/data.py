@@ -85,7 +85,15 @@ def gather_batch(ds: PackedDataset, ends: np.ndarray, seq_len: int
 def epoch_batches(ds: PackedDataset, seq_len: int, batch_size: int,
                   rng: np.random.Generator, drop_remainder: bool = True
                   ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """One epoch of shuffled batches (fresh window re-sampling per epoch)."""
+    """One epoch of shuffled batches (fresh window re-sampling per epoch).
+
+    DOCUMENTED DIVERGENCE: the reference's DataLoader uses drop_last=False
+    (train_model.py:145-147), so its final sub-batch-size batch is trained
+    on and steps the per-batch cosine schedule. The default here drops it —
+    jit wants static batch shapes, and a ragged trailing batch would pay a
+    second full compile for <1 extra batch per epoch. Pass
+    drop_remainder=False to reproduce the reference exactly (the compiled
+    paths, train_loop/make_epoch_fn, keep the static-shape default)."""
     idx = sample_epoch_indices(ds.info, seq_len, rng)
     n_full = len(idx) // batch_size
     for b in range(n_full):

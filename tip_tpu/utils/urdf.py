@@ -61,23 +61,34 @@ def _parse_python(path: str) -> UrdfSkeleton:
         link_order.append(name)
 
     root_name = link_order[0]
-    joint_names, parents, offsets, rpys, fixed = [], [], [], [], []
-    child_names = []
+    joint_names, offsets, rpys, fixed = [], [], [], []
+    child_names, parent_links = [], []
+    # two passes so a child joint may appear before its parent joint in file
+    # order (the native parser resolves such forward references the same way)
     for joint in robot.findall("joint"):
-        jname = joint.get("name")
-        jtype = joint.get("type")
         origin = joint.find("origin")
-        parent_link = joint.find("parent").get("link")
-        child_link = joint.find("child").get("link")
-        joint_names.append(jname)
-        child_names.append(child_link)
+        joint_names.append(joint.get("name"))
+        parent_links.append(joint.find("parent").get("link"))
+        child_names.append(joint.find("child").get("link"))
         offsets.append(_vec(origin, "xyz", [0.0, 0.0, 0.0]))
         rpys.append(_vec(origin, "rpy", [0.0, 0.0, 0.0]))
-        fixed.append(jtype == "fixed")
-        if parent_link == root_name:
-            parents.append(-1)
-        else:
-            parents.append(child_names.index(parent_link))
+        fixed.append(joint.get("type") == "fixed")
+
+    for jname, plink, clink in zip(joint_names, parent_links, child_names):
+        for link in (plink, clink):
+            if link not in links:
+                raise ValueError(
+                    f"{path}: joint {jname!r} references undeclared link "
+                    f"{link!r}")
+    def _parent_idx(p):
+        if p == root_name:
+            return -1
+        if p not in child_names:
+            raise ValueError(f"{path}: parent link {p!r} is neither the "
+                             f"root nor any joint's child")
+        return child_names.index(p)
+
+    parents = [_parent_idx(p) for p in parent_links]
 
     com = np.stack([links[root_name]["com"]] +
                    [links[c]["com"] for c in child_names])
