@@ -344,6 +344,37 @@ def test_fused_batch_matches_vmapped_xla(rnn_carry):
                                    np.asarray(cache_a.h)[act], atol=2e-4)
 
 
+def test_fused_batch_non_dividing_tile():
+    """A preferred tile that does not divide the pool (e.g. the replay
+    mode's 64-halving vs a 96-stream pool) must fall back to the largest
+    divisor instead of failing a trace-time assertion (review finding)."""
+    from tip_tpu.ops import fused_forward as FF
+    from tip_tpu.runtime import streaming_cache as SC
+
+    cfg = SMALL_F32
+    W, B = 8, 6
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.float32),
+        M.init_params(jax.random.PRNGKey(0), cfg))
+    packed = tuple(FF.pack_weights(params, cfg, dtype=jnp.float32))
+    rng = np.random.default_rng(0)
+    single = SC.cache_init(cfg, W)
+    caches = {bt: jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), single)
+        for bt in (4, 2)}
+    for t in range(3):
+        xs = jnp.asarray(rng.normal(size=(B, cfg.input_dim))
+                         .astype(np.float32))
+        ys = {}
+        for bt in (4, 2):        # 4 does not divide 6 -> falls back to 3
+            caches[bt], ys[bt] = SC.fused_cached_batch(
+                packed, caches[bt], xs, jnp.asarray(t % W, jnp.int32),
+                jnp.ones(B, bool), cfg, rnn_carry=False, b_tile=bt,
+                interpret=True)
+        np.testing.assert_allclose(np.asarray(ys[4]), np.asarray(ys[2]),
+                                   atol=1e-5)
+
+
 def test_runner_pool_fused_batch_dispatch(setup):
     """forward_impl="fused" + a global pool tick dispatches the vmapped
     runner step through the BATCHED fused kernel (custom_vmap); trajectories

@@ -32,7 +32,12 @@ def main():
     from tip_tpu.data_gen.combine import combine
 
     if args.datasets:
-        pairs = list(zip(args.datasets, args.rates or [60] * len(args.datasets)))
+        rates = args.rates or [60] * len(args.datasets)
+        if len(rates) != len(args.datasets):
+            ap.error(f"--rates needs one value per --datasets entry "
+                     f"({len(args.datasets)} datasets, {len(rates)} rates) "
+                     f"— zip would silently drop datasets")
+        pairs = list(zip(args.datasets, rates))
     else:
         pairs = [(d.replace("v0", args.tag), r) for d, r in DEFAULT_DATASETS]
 

@@ -104,12 +104,16 @@ def main():
 
     s_init = cal_lib.t_pose_init_state()
     carry = FR.full_runner_init(cfg, skel, jnp.asarray(s_init, jnp.float32))
-    step = jax.jit(lambda p, c, x: FR.full_runner_step(p, c, x, cfg, skel))
+    # pre-pack fused-kernel weights once (the per-frame dispatch has no
+    # scan for XLA to hoist the pack out of); None for the xla impl
+    packed = runner_lib.pack_fused_weights(params, cfg.base)
+    step = jax.jit(lambda p, pk, c, x: FR.full_runner_step(
+        p, c, x, cfg, skel, packed_ws=pk))
 
     # compile before the real-time loop starts (first call is slow)
     print("compiling runner step…")
     t0 = time.time()
-    warm_carry, warm_out = step(params, carry,
+    warm_carry, warm_out = step(params, packed, carry,
                                 jnp.zeros(72, jnp.float32).at[0].set(1.0)
                                 .at[4].set(1.0).at[8].set(1.0))
     jax.block_until_ready(warm_out["qdq"])
@@ -140,7 +144,7 @@ def main():
             if cal is not None:
                 reading = cal_lib.transform_reading(cal, reading)
             with hist.timed():
-                carry, out = step(params, carry,
+                carry, out = step(params, packed, carry,
                                   jnp.asarray(reading, jnp.float32))
                 qdq = np.asarray(out["qdq"])
             if out_f:

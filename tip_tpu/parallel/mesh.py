@@ -26,9 +26,22 @@ def init_distributed(coordinator_address: Optional[str] = None,
     """Multi-host initialisation (DCN): call once per host before any device
     use. No-op for single-process runs; on TPU pods with the standard env
     (TPU_WORKER_HOSTNAMES etc.) jax auto-detects everything."""
+    import os
+
     import jax
 
     if num_processes is not None and num_processes <= 1:
+        return
+    # true no-op for single-process runs: with nothing passed and no cluster
+    # environment to auto-detect from, jax.distributed.initialize would
+    # raise about a missing coordinator rather than no-op
+    cluster_env = any(
+        os.environ.get(v)
+        for v in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                  "TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID",
+                  "MEGASCALE_COORDINATOR_ADDRESS"))
+    if (coordinator_address is None and num_processes is None
+            and process_id is None and not cluster_env):
         return
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,

@@ -46,6 +46,17 @@ class FullRunnerConfig:
     multi_sbp: bool = False           # terrain-from-root + IK feedback
     playback_gt: bool = False
 
+    def __post_init__(self):
+        # the multi-SBP paths index the root SBP at slot 4
+        # (raw_residues[4], c_locs_prev[4]); with a 2-SBP model jit's
+        # index clamping would silently read the rankle SBP instead of
+        # the reference's all-NaN no-op (real_time_runner.py:347-352) —
+        # reject the combination outright
+        if self.multi_sbp and self.base.n_sbps < 5:
+            raise ValueError(
+                f"multi_sbp needs the 5-SBP model (root SBP at slot 4); "
+                f"got n_sbps={self.base.n_sbps}")
+
 
 @struct.dataclass
 class FullCarry:
@@ -128,7 +139,7 @@ def _ik_history_feedback(cfg: FullRunnerConfig, s_hist, pq_jf, raw_residues,
 def full_runner_step(params, carry: FullCarry, cur_imu,
                      cfg: FullRunnerConfig, skel: kin.Skeleton,
                      rng: Optional[jax.Array] = None,
-                     s_gt=None, c_gt=None):
+                     s_gt=None, c_gt=None, packed_ws=None):
     """One frame (reference RTRunner.step, real_time_runner.py:384-500)."""
     b = carry.base
     bcfg = cfg.base
@@ -136,7 +147,8 @@ def full_runner_step(params, carry: FullCarry, cur_imu,
     n_sbps = bcfg.n_sbps
 
     (raw, k_new, imu_win, accsum_win, acc_runsum, out_buf, n_out, active,
-     s_pred, c_pred, cache) = sense_and_predict(params, b, cur_imu, bcfg, rng)
+     s_pred, c_pred, cache) = sense_and_predict(params, b, cur_imu, bcfg,
+                                                rng, packed_ws=packed_ws)
 
     if cfg.playback_gt:
         s_t = jnp.asarray(s_gt, dtype)

@@ -22,6 +22,26 @@ N_IMUS = 6
 FLOATS_PER_FRAME = N_IMUS * 7       # quat(4) + acc(3) per sensor
 
 
+def parse_wire_frame(vals: np.ndarray) -> np.ndarray:
+    """One wire frame (42 floats: per sensor quat xyzw + acc) -> the 72-float
+    feature layout (6 rotation matrices ++ 6 accs). Single source of truth
+    for the wire format — shared by IMUClient and the serve daemon."""
+    qa = vals.reshape(N_IMUS, 7)
+    r = Rotation.from_quat(qa[:, :4]).as_matrix()      # xyzw wire quats
+    return np.concatenate([r.reshape(-1), qa[:, 4:].reshape(-1)])
+
+
+def drain_wire_frames(data: str, sink) -> str:
+    """Feed every complete space-separated frame in ``data`` to
+    sink(frame72); returns the unconsumed tail of the buffer."""
+    parts = data.split(" ", FLOATS_PER_FRAME)
+    while len(parts) == FLOATS_PER_FRAME + 1:
+        sink(parse_wire_frame(np.array(parts[:-1], dtype=float)))
+        data = parts[-1]
+        parts = data.split(" ", FLOATS_PER_FRAME)
+    return data
+
+
 class SeqlockSlot:
     """Single-writer latest-value slot with torn-read detection."""
 
@@ -56,12 +76,11 @@ class IMUClient:
         self._running = False
         self.frames_received = 0
 
-    def _parse(self, vals: np.ndarray) -> np.ndarray:
-        qa = vals.reshape(N_IMUS, 7)
-        r = Rotation.from_quat(qa[:, :4]).as_matrix()      # xyzw wire quats
-        return np.concatenate([r.reshape(-1), qa[:, 4:].reshape(-1)])
-
     def _read_loop(self):
+        def sink(frame72):
+            self._slot.write(frame72)
+            self.frames_received += 1
+
         data = ""
         while self._running:
             try:
@@ -70,14 +89,7 @@ class IMUClient:
                 break
             if not chunk:
                 break
-            data += chunk
-            parts = data.split(" ", FLOATS_PER_FRAME)
-            while len(parts) == FLOATS_PER_FRAME + 1:
-                frame = np.array(parts[:-1], dtype=float)
-                self._slot.write(self._parse(frame))
-                self.frames_received += 1
-                data = parts[-1]
-                parts = data.split(" ", FLOATS_PER_FRAME)
+            data = drain_wire_frames(data + chunk, sink)
 
     def start(self):
         assert self._thread is None, "already reading"

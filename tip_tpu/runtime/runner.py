@@ -214,7 +214,8 @@ class SensedFrame(tuple):
 
 
 def sense_and_predict(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
-                      rng: Optional[jax.Array] = None, tick=None):
+                      rng: Optional[jax.Array] = None, tick=None,
+                      packed_ws=None):
     """Stages 1-5 shared by the minimal and full runners: raw-ring smoothing,
     local features + acc-sum, model forward, output filter, state assembly.
     Returns (buffer updates…, active flag, assembled s_t, SBP vector c_t).
@@ -222,7 +223,13 @@ def sense_and_predict(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
     tick: optional () int32 GLOBAL pool tick for kv-cache serving — every
     stream of a synchronously-ticking pool then writes the same cache slot,
     so vmap lowers the ring update to one dynamic-update-slice instead of a
-    per-stream scatter (see streaming_cache.cached_forward_step)."""
+    per-stream scatter (see streaming_cache.cached_forward_step).
+
+    packed_ws: optional pre-packed fused-kernel weights
+    (ops.fused_forward.pack_weights, see pack_fused_weights). Packing is a
+    cast+concat of every weight matrix: hoisted out of a lax.scan by XLA
+    automatically, but a per-tick jit dispatch (StreamPool.step) would
+    re-pack ~MBs every 60 Hz tick without this."""
     dtype = carry.imu_win.dtype
     cur_imu = jnp.asarray(cur_imu, dtype)
     n_sbps = cfg.n_sbps
@@ -290,10 +297,12 @@ def sense_and_predict(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
             # the commit flag replaces the warmup copy-on-select). Under
             # the pool's vmap with a global tick this dispatches to the
             # BATCHED kernel via custom_vmap (streaming_cache).
-            from tip_tpu.ops import fused_forward as FF
-            pack_dtype = carry.cache.enc.dtype
-            packed = tuple(FF.pack_weights(params, cfg.model,
-                                           dtype=pack_dtype))
+            if packed_ws is not None:
+                packed = tuple(packed_ws)
+            else:
+                from tip_tpu.ops import fused_forward as FF
+                packed = tuple(FF.pack_weights(params, cfg.model,
+                                               dtype=carry.cache.enc.dtype))
             step = SC.auto_fused_step(cfg.model, rnn_carry,
                                       jax.default_backend() != "tpu")
             slot = (tick if tick is not None else carry.k) % W
@@ -317,9 +326,13 @@ def sense_and_predict(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
             # (ops/fused_forward.fused_forward_last) — inference only
             assert rng is None, "fused forward_impl is inference-only"
             from tip_tpu.ops import fused_forward as FF
-            pack_dtype = jnp.dtype(cfg.model.compute_dtype or jnp.bfloat16)
-            packed = tuple(FF.pack_weights(params, cfg.model,
-                                           dtype=pack_dtype))
+            if packed_ws is not None:
+                packed = tuple(packed_ws)
+            else:
+                pack_dtype = jnp.dtype(cfg.model.compute_dtype
+                                       or jnp.bfloat16)
+                packed = tuple(FF.pack_weights(params, cfg.model,
+                                               dtype=pack_dtype))
             x_full = jnp.concatenate([x_imu, carry.s_and_c_win], axis=-1)
             y_t = FF.fused_forward_last(
                 packed, x_full, last_idx, cfg.model,
@@ -382,16 +395,33 @@ def _fk(cfg: RunnerConfig, skel: kin.Skeleton, s_t):
     return kin.fk_our_state(skel, s_t, return_joint_frame=True)
 
 
+def pack_fused_weights(params, cfg: RunnerConfig, dtype=jnp.float32):
+    """Pre-pack the fused-kernel weights with the dtype the runner's fused
+    path would use (cache ring dtype for kv modes, compute_dtype/bf16 for
+    the recompute fused forward). Pass the result as ``packed_ws`` to
+    runner_step/full_runner_step to hoist the per-dispatch cast+concat of
+    every weight matrix (a per-tick cost on non-scan drivers)."""
+    if cfg.model.forward_impl != "fused":
+        return None
+    from tip_tpu.ops import fused_forward as FF
+    if _is_cached(cfg):
+        pd = (jnp.dtype(cfg.model.compute_dtype)
+              if cfg.model.compute_dtype is not None else jnp.dtype(dtype))
+    else:
+        pd = jnp.dtype(cfg.model.compute_dtype or jnp.bfloat16)
+    return tuple(FF.pack_weights(params, cfg.model, dtype=pd))
+
+
 def runner_step(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
                 skel: kin.Skeleton,
-                rng: Optional[jax.Array] = None, tick=None):
+                rng: Optional[jax.Array] = None, tick=None, packed_ws=None):
     """One 60 Hz frame of the minimal runner (flat-ground assumption).
     Returns (carry', dict(qdq, viz_locs, ct))."""
     dtype = carry.imu_win.dtype
     n_sbps = cfg.n_sbps
     (raw, k_new, imu_win, accsum_win, acc_runsum, out_buf, n_out, active,
      s_t, c_t, cache) = sense_and_predict(params, carry, cur_imu, cfg, rng,
-                                          tick=tick)
+                                          tick=tick, packed_ws=packed_ws)
 
     # ---- 6. FK + SBP root correction (ref :169-194) ---------------------------
     pq_g, pq_g_jf = _fk(cfg, skel, s_t)

@@ -26,15 +26,8 @@ from typing import Dict, Optional
 import numpy as np
 
 from tip_tpu import constants as cst
-from tip_tpu.runtime.imu_client import FLOATS_PER_FRAME, N_IMUS, SeqlockSlot
+from tip_tpu.runtime.imu_client import SeqlockSlot, drain_wire_frames
 from tip_tpu.runtime.serving import StreamPool
-
-
-def _parse_frame(vals: np.ndarray) -> np.ndarray:
-    from scipy.spatial.transform import Rotation
-    qa = vals.reshape(N_IMUS, 7)
-    r = Rotation.from_quat(qa[:, :4]).as_matrix()      # xyzw wire quats
-    return np.concatenate([r.reshape(-1), qa[:, 4:].reshape(-1)])
 
 
 class _Client:
@@ -77,13 +70,7 @@ class ServeDaemon:
                 break
             if not chunk:
                 break
-            data += chunk
-            parts = data.split(" ", FLOATS_PER_FRAME)
-            while len(parts) == FLOATS_PER_FRAME + 1:
-                client.input.write(_parse_frame(
-                    np.array(parts[:-1], dtype=float)))
-                data = parts[-1]
-                parts = data.split(" ", FLOATS_PER_FRAME)
+            data = drain_wire_frames(data + chunk, client.input.write)
         self._drop(client)
 
     def _drop(self, client: _Client):
@@ -106,13 +93,23 @@ class ServeDaemon:
             try:
                 slot = self.pool.add_stream(self.s_init)
             except RuntimeError:
-                conn.sendall(b'{"error": "pool full"}\n')
+                try:
+                    conn.sendall(b'{"error": "pool full"}\n')
+                except OSError:
+                    pass
                 conn.close()
                 continue
             client = _Client(conn, slot)
             with self._lock:
                 self._clients[slot] = client
-            conn.sendall((json.dumps({"slot": slot}) + "\n").encode())
+            try:
+                conn.sendall((json.dumps({"slot": slot}) + "\n").encode())
+            except OSError:
+                # client vanished before the greeting: free the slot and
+                # keep accepting (an uncaught raise here would kill the
+                # accept thread and leak the slot forever)
+                self._drop(client)
+                continue
             threading.Thread(target=self._reader, args=(client,),
                              daemon=True).start()
             self.log(f"client {addr} -> slot {slot} "
@@ -123,6 +120,13 @@ class ServeDaemon:
     def _tick_once(self, batch: np.ndarray):
         with self._lock:
             clients = list(self._clients.values())
+        # reset unoccupied rows to the idle frame: the batch persists across
+        # ticks, so without this a NEW client on a recycled slot would have
+        # its warmup fed the previous client's last frame
+        occupied = {c.slot for c in clients}
+        for slot in range(batch.shape[0]):
+            if slot not in occupied:
+                batch[slot] = self._idle
         for c in clients:
             frame = c.input.read()
             if frame is not None:
@@ -143,9 +147,9 @@ class ServeDaemon:
         self._running = True
         threading.Thread(target=self._accept_loop, daemon=True).start()
         # identity orientations for empty slots
-        idle = np.zeros(72, np.float32)
-        idle[0] = idle[4] = idle[8] = 1.0
-        batch = np.tile(idle, (self.pool.capacity, 1))
+        self._idle = np.zeros(72, np.float32)
+        self._idle[0] = self._idle[4] = self._idle[8] = 1.0
+        batch = np.tile(self._idle, (self.pool.capacity, 1))
         dt = 1.0 / self.hz
         t_end = time.time() + seconds if seconds else None
         try:

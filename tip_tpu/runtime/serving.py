@@ -66,23 +66,29 @@ class StreamPool:
         # rebuild the pool (see step)
         self._s_inits = np.zeros((capacity, 2 * cst.N_DOFS), np.float64)
 
-        def one(params, carry, imu_t, tick):
+        # pre-pack the fused-kernel weights ONCE: the per-tick dispatch has
+        # no scan for XLA to hoist the cast+concat of every weight out of
+        self._packed = runner_lib.pack_fused_weights(params, cfg, dtype)
+
+        def one(params, packed, carry, imu_t, tick):
             return runner_lib.runner_step(params, carry, imu_t, cfg,
-                                          self.skel, tick=tick)
+                                          self.skel, tick=tick,
+                                          packed_ws=packed)
 
         # tick: () int32 global pool counter, shared (unbatched) across the
         # pool — the kv-cache global ring cursor (streaming_cache)
-        vstep = jax.vmap(one, in_axes=(None, 0, 0, None))
+        vstep = jax.vmap(one, in_axes=(None, None, 0, 0, None))
         if chunk is not None and chunk < capacity:
             n_chunks = capacity // chunk
 
-            def batched(params, carries, imu, tick):
+            def batched(params, packed, carries, imu, tick):
                 cs = jax.tree_util.tree_map(
                     lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]),
                     carries)
                 xs = imu.reshape(n_chunks, chunk, imu.shape[-1])
                 cs2, out = jax.lax.map(
-                    lambda args: vstep(params, args[0], args[1], tick),
+                    lambda args: vstep(params, packed, args[0], args[1],
+                                       tick),
                     (cs, xs))
                 unchunk = lambda a: a.reshape((capacity,) + a.shape[2:])
                 return (jax.tree_util.tree_map(unchunk, cs2),
@@ -95,10 +101,11 @@ class StreamPool:
         # (capacity, L, W, d) rings before writing one row
         if self._batch_sharding is not None:
             bs = self._batch_sharding
-            self._step = jax.jit(batched, in_shardings=(None, bs, bs, None),
-                                 out_shardings=(bs, bs), donate_argnums=(1,))
+            self._step = jax.jit(batched,
+                                 in_shardings=(None, None, bs, bs, None),
+                                 out_shardings=(bs, bs), donate_argnums=(2,))
         else:
-            self._step = jax.jit(batched, donate_argnums=(1,))
+            self._step = jax.jit(batched, donate_argnums=(2,))
         self._tick = 0
         self._slot_init = jax.jit(
             lambda s: runner_lib.runner_init(cfg, self.skel, s, dtype))
@@ -170,7 +177,7 @@ class StreamPool:
         with self._carries_lock:
             try:
                 self._carries, out = self._step(
-                    self.params, self._carries,
+                    self.params, self._packed, self._carries,
                     jnp.asarray(imu_batch, self._dtype),
                     jnp.asarray(self._tick, jnp.int32))
             except Exception:

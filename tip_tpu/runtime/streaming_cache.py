@@ -539,7 +539,8 @@ def fused_cached_batch(packed_ws, cache: KVCache, x_tokens, slot, commit,
         # pre-activations; halve the tile to stay inside scoped VMEM
         b_tile = min(b_tile, 64)
     bt = min(b_tile, B)
-    assert B % bt == 0, "b_tile must divide the pool size"
+    while B % bt:          # largest divisor <= the preferred tile (a pool
+        bt -= 1            # of e.g. 96 streams must not assert at trace)
     grid = (B // bt,)
 
     imu_dim = cfg.input_size_imu + (18 if cfg.with_acc_sum else 0)
