@@ -108,7 +108,7 @@ def pipeline_dir(tmp_path_factory):
 
 
 def test_combine_blob_format(pipeline_dir):
-    prefix, _ = pipeline_dir
+    prefix, pkl_dir = pipeline_dir
     ds = data_lib.PackedDataset.load(prefix + "_imu.npy", prefix + "_s.npy",
                                      prefix + "_info.npy")
     assert ds.imu.shape[1] == 72
@@ -116,8 +116,18 @@ def test_combine_blob_format(pipeline_dir):
     assert ds.s.shape[1] == 131
     assert ds.info.shape == (3, 3)
     assert ds.info[-1, 1] == len(ds.imu)
-    # local features: root rotation block untouched by localisation
     assert np.isfinite(ds.imu[:]).all()
+    # local features: the root sensor's rotation block passes through the
+    # localisation unchanged (only the ±4-frame crop applies to it — the
+    # smoothing and bias noise touch acc channels 54:72 only)
+    for i, (start, end, rate) in enumerate(np.asarray(ds.info)):
+        with open(os.path.join(pkl_dir, f"motion_{i}.pkl"), "rb") as f:
+            payload = pickle.load(f)
+        raw = np.asarray(payload["imu"])
+        m_len = min(len(raw), len(payload["nimble_qdq"]))
+        np.testing.assert_allclose(ds.imu[start:end, :9],
+                                   raw[4:m_len - 4, :9].astype(np.float32),
+                                   rtol=1e-6)
 
 
 def test_train_on_synthesized_data(pipeline_dir):
@@ -267,5 +277,12 @@ def test_gen_data_sharding_partitions_and_is_stable(tmp_path):
     open(all_jobs[0], "w").close()
     remaining = [d for _, d in G.iter_jobs(str(tmp_path / "src"), save, "")]
     assert sorted(remaining) == all_jobs[1:]
-    # the RNG stream key depends only on the output name
-    assert G._name_hash(all_jobs[3]) == G._name_hash(all_jobs[3])
+    # the RNG stream key depends only on the output BASENAME (stable under
+    # moving the save dir) and is process-stable (crc32, not the salted
+    # builtin hash) — pin an exact value so a hash-fn change that would
+    # break resume/shard reproducibility of generated data fails loudly
+    import zlib
+    base = os.path.basename(all_jobs[3])
+    assert G._name_hash(all_jobs[3]) == zlib.crc32(base.encode())
+    assert G._name_hash(os.path.join("/elsewhere", base)) \
+        == G._name_hash(all_jobs[3])

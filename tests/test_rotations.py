@@ -143,3 +143,23 @@ def test_grad_finite_at_zero_rotation():
     aa = jnp.asarray([0.3, -0.2, 0.9])
     np.testing.assert_allclose(
         np.asarray(rot.q_to_aa(rot.aa_to_q(aa))), np.asarray(aa), atol=1e-12)
+
+
+def test_matrix_to_aa_scipy_parity_hard_angles():
+    """Independent (scipy) coverage of matrix_to_aa in the regimes the
+    runner-parity oracle shares our implementation for (review finding):
+    tiny angles, near-pi, exact-pi about random axes, and random rotations.
+    Compared as rotations (axis-angle at pi is sign-ambiguous)."""
+    rng = np.random.default_rng(42)
+    cases = [np.zeros(3), np.array([1e-9, 0, 0])]
+    for _ in range(8):
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        cases += [axis * (np.pi - 1e-7), axis * np.pi,
+                  axis * rng.uniform(0.1, 3.0)]
+    for aa in cases:
+        m = Rotation.from_rotvec(aa).as_matrix()
+        ours = np.array(rot.matrix_to_aa(jnp.asarray(m)))  # writable copy
+        diff = (Rotation.from_rotvec(ours)
+                * Rotation.from_rotvec(aa).inv()).magnitude()
+        assert diff < 1e-6, (aa, ours, diff)

@@ -4,8 +4,10 @@ The oracle below is an independent numpy/scipy transcription of the
 reference's RTRunnerMin semantics (real_time_runner_minimal.py:19-200):
 Python-list buffers, variable-length model windows, NaN-based SBP plumbing.
 Only the transformer forward (separately validated against torch in
-test_model.py) and the FK core (validated against a scipy oracle in
-test_kinematics.py) are shared.
+test_model.py), the FK core (validated against a scipy oracle in
+test_kinematics.py), and the matrix->axis-angle decode (rot.matrix_to_aa,
+validated against scipy including near/at-pi rotations in
+test_rotations.py::test_matrix_to_aa_scipy_parity_hard_angles) are shared.
 """
 
 import numpy as np
@@ -171,15 +173,18 @@ class OracleRunnerMin:
         return s_t
 
 
-def make_stream(T=60):
-    """Plausible IMU stream: smooth random orientations + small accs."""
+def make_stream(T=60, rng=None):
+    """Plausible IMU stream: smooth random orientations + small accs.
+    Pass an explicit rng to avoid consuming (or worse, rebinding) the
+    shared module RNG — later tests' data must not depend on test order."""
+    r = rng if rng is not None else RNG
     imu = np.zeros((T, 72))
-    base = Rotation.from_rotvec(RNG.normal(size=(6, 3)) * 0.3)
+    base = Rotation.from_rotvec(r.normal(size=(6, 3)) * 0.3)
     for t in range(T):
-        delta = Rotation.from_rotvec(RNG.normal(size=(6, 3)) * 0.02)
+        delta = Rotation.from_rotvec(r.normal(size=(6, 3)) * 0.02)
         base = delta * base
         imu[t, :54] = base.as_matrix().reshape(6, 9).reshape(-1)
-        imu[t, 54:] = RNG.normal(size=18) * 0.5
+        imu[t, 54:] = r.normal(size=18) * 0.5
     return imu
 
 

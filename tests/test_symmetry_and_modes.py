@@ -104,8 +104,8 @@ def test_stream_pool_sharded_over_mesh():
         for _ in range(8):
             p.add_stream(s_init)
 
-    streams = np.stack([TR.make_stream(10) for _ in range(8)])
-    TR.RNG = np.random.default_rng(3)   # reset shared rng (module-level)
+    local_rng = np.random.default_rng(3)   # own stream: never touch TR.RNG
+    streams = np.stack([TR.make_stream(10, rng=local_rng) for _ in range(8)])
 
     for t in range(10):
         out_a = pool_a.step(streams[:, t])

@@ -103,11 +103,21 @@ def test_checkpoint_roundtrip(tmp_path):
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(restored.step) == int(state.step)
-    # resume-exact: next step from restored == next step from original
+    # resume-exact: next step from restored == next step from original.
+    # Compare the POST-update params (not just the loss, which is computed
+    # from the pre-update params and would pass even with a zeroed
+    # optimizer state) — this is what actually certifies opt_state
+    # (Adam moments + schedule step) round-tripped.
     s1, aux1 = step(state, x_imu, x_s, y)
     s2, aux2 = step(restored, x_imu, x_s, y)
     np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]),
                                rtol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.opt_state),
+                    jax.tree_util.tree_leaves(s2.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_window_sampler_semantics():
@@ -266,6 +276,53 @@ def test_train_loop_gather_on_device(tmp_path):
     vals = [l for l in losses if l is not None]
     assert len(vals) == 3 and np.isfinite(vals).all()
     assert vals[-1] < vals[0]
+
+
+def test_nan_loss_rollback_actually_rolls_back():
+    """Exercise the non-finite-loss rollback branch (no other test feeds a
+    NaN batch, so the jnp.where tree could have swapped operands without
+    any failure — review finding). A poisoned batch must be flagged, leave
+    params/opt_state/step bit-identical, and not poison later batches."""
+    N = 64
+    RNGL = np.random.default_rng(11)
+    imu = RNGL.normal(size=(N, 72)).astype(np.float32)
+    imu[30:40] = np.inf                     # poison a window range
+    ds = data_lib.PackedDataset(
+        imu=imu,
+        acc_sum=RNGL.normal(size=(N, 18)).astype(np.float32),
+        s=RNGL.normal(size=(N, 131)).astype(np.float32),
+        info=np.array([[0, N, 1]], dtype=np.int64),
+    )
+    T, B = 8, 4
+    cfg = train_lib.TrainConfig(model=TINY, batch_size=B, seq_len=T,
+                                noise_input_hist=0.0, seed=0)
+    dds = data_lib.to_device(ds)
+    epoch_fn = train_lib.make_epoch_fn(cfg, dds)
+    state0 = train_lib.init_state(cfg)
+
+    # epoch of ONE poisoned batch: state must come back bit-identical
+    bad_ends = np.full((1, B), 39, np.int32)       # windows inside the inf
+    s_bad, aux_bad = epoch_fn(state0, jnp.asarray(bad_ends))
+    assert bool(np.asarray(aux_bad["skipped"]).all())
+    assert not np.isfinite(np.asarray(aux_bad["loss"])).any()
+    assert int(s_bad.step) == 0
+    for a, b in zip(jax.tree_util.tree_leaves(state0.params),
+                    jax.tree_util.tree_leaves(s_bad.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state0.opt_state),
+                    jax.tree_util.tree_leaves(s_bad.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # mixed epoch: [clean, poisoned, clean] -> only the middle is skipped,
+    # the clean steps train and stay finite
+    ends = np.array([[12, 13, 14, 15], [39, 39, 38, 37],
+                     [50, 51, 52, 53]], np.int32).reshape(3, B)
+    s_mix, aux = epoch_fn(state0, jnp.asarray(ends))
+    np.testing.assert_array_equal(np.asarray(aux["skipped"]),
+                                  [False, True, False])
+    assert int(s_mix.step) == 2
+    assert all(np.isfinite(np.asarray(p)).all()
+               for p in jax.tree_util.tree_leaves(s_mix.params))
 
 
 def test_epoch_scan_matches_per_batch_steps():
