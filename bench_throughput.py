@@ -47,6 +47,7 @@ def main():
         (1024, "bfloat16", "kv_cache_rnn_carry", None, "fused"),
         (512, "bfloat16", "kv_cache", None, "fused"),
         (2048, "bfloat16", "kv_cache_rnn_carry", None, "fused"),
+        (4096, "bfloat16", "kv_cache_rnn_carry", None, "fused"),
     ]
     for B, compute_dtype, mode, chunk, fwd in configs:
         cfg = R.RunnerConfig(model=M.ModelConfig(compute_dtype=compute_dtype,

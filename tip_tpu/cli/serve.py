@@ -28,7 +28,7 @@ def main():
                     choices=["recompute", "kv_cache", "kv_cache_rnn_carry"])
     ap.add_argument("--forward_impl", default="xla", choices=["xla", "fused"],
                     help="fused = the batched Pallas cached-step kernel "
-                         "(kv modes; 1.25M frames/s/chip measured, PERF.md)")
+                         "(kv modes; 1.35M frames/s/chip measured, PERF.md)")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 compute (the serving throughput sweet "
                          "spot, PERF.md)")
