@@ -187,7 +187,7 @@ def _ring_push(buf, cursor, new_row, write_gate):
     """Circular-buffer push shared by the cache-mode acc ring and output-
     filter ring: read the old row at the cursor, write back either the new
     row or (when gated off) the old row — one dynamic-update-slice instead
-    of an O(rows) shift. Returns (old_row, new_buf)."""
+    of an O(rows) shift. Returns (old_row, new_buf, slot)."""
     slot = jnp.asarray(cursor, jnp.int32) % buf.shape[0]
     zero = jnp.zeros((), jnp.int32)
     old_row = jax.lax.dynamic_slice(
@@ -279,7 +279,6 @@ def sense_and_predict(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
     active = k_new >= 1          # model has at least one frame
 
     # ---- 3. model forward (ref :143-150) -------------------------------------
-    last_idx = jnp.maximum(k_new - 1, 0)
     cache = carry.cache
     if _is_cached(cfg):
         # KV-cached streaming: only the newest token runs the encoder
@@ -317,6 +316,7 @@ def sense_and_predict(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
                 commit=have_smoothed)
         y_t = y_t.astype(dtype)
     else:
+        last_idx = jnp.maximum(k_new - 1, 0)
         x_imu = imu_win
         if cfg.with_acc_sum:
             x_imu = jnp.concatenate(

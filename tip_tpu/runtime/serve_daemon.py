@@ -57,6 +57,10 @@ class ServeDaemon:
         self._srv.listen()
         self.port = self._srv.getsockname()[1]
         self.ticks = 0
+        # persistent tick batch; identity orientations for empty slots
+        self._idle = np.zeros(72, np.float32)
+        self._idle[0] = self._idle[4] = self._idle[8] = 1.0
+        self._batch = np.tile(self._idle, (pool.capacity, 1))
 
     # -- client side ---------------------------------------------------------
 
@@ -78,6 +82,11 @@ class ServeDaemon:
             if self._clients.get(client.slot) is client:
                 del self._clients[client.slot]
                 self.pool.remove_stream(client.slot)
+                # reset the slot's tick-batch row: a NEW client on this
+                # recycled slot must not be warmed up on the departed
+                # client's last frame (torn row writes are harmless — the
+                # slot is inactive until re-add, which resets the carry)
+                self._batch[client.slot] = self._idle
         client.alive = False
         try:
             client.conn.close()
@@ -120,13 +129,6 @@ class ServeDaemon:
     def _tick_once(self, batch: np.ndarray):
         with self._lock:
             clients = list(self._clients.values())
-        # reset unoccupied rows to the idle frame: the batch persists across
-        # ticks, so without this a NEW client on a recycled slot would have
-        # its warmup fed the previous client's last frame
-        occupied = {c.slot for c in clients}
-        for slot in range(batch.shape[0]):
-            if slot not in occupied:
-                batch[slot] = self._idle
         for c in clients:
             frame = c.input.read()
             if frame is not None:
@@ -146,10 +148,7 @@ class ServeDaemon:
     def run(self, seconds: Optional[float] = None):
         self._running = True
         threading.Thread(target=self._accept_loop, daemon=True).start()
-        # identity orientations for empty slots
-        self._idle = np.zeros(72, np.float32)
-        self._idle[0] = self._idle[4] = self._idle[8] = 1.0
-        batch = np.tile(self._idle, (self.pool.capacity, 1))
+        batch = self._batch
         dt = 1.0 / self.hz
         t_end = time.time() + seconds if seconds else None
         try:

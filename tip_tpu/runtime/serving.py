@@ -52,15 +52,6 @@ class StreamPool:
         else:
             self._batch_sharding = None
 
-        zero_init = jnp.zeros(2 * cst.N_DOFS, dtype)
-        single = runner_lib.runner_init(cfg, self.skel, zero_init, dtype)
-        self._carries = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x, (capacity,) + x.shape).copy(), single)
-        if self._batch_sharding is not None:
-            self._carries = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, self._batch_sharding),
-                self._carries)
-
         self.active = np.zeros(capacity, bool)
         # per-slot init poses, kept host-side so a failed donated tick can
         # rebuild the pool (see step)
@@ -123,6 +114,19 @@ class StreamPool:
         # not read the pre-step reference, so every carry mutation AND the
         # free-slot scan/claim are serialized here
         self._carries_lock = threading.Lock()
+        self._carries = self._empty_pool()
+
+    def _empty_pool(self):
+        """Stacked zero-session carries, sharded when a mesh is set (used at
+        construction and by the failed-tick rebuild)."""
+        single = self._slot_init(jnp.zeros(2 * cst.N_DOFS, self._dtype))
+        carries = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (self.capacity,) + x.shape).copy(),
+            single)
+        if self._batch_sharding is not None:
+            carries = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self._batch_sharding), carries)
+        return carries
 
     def add_stream(self, s_init: np.ndarray) -> int:
         """Returns the slot id; raises if the pool is full. Thread-safe with
@@ -150,14 +154,7 @@ class StreamPool:
         """Recreate the pool state from the stored per-slot init poses.
         Active streams restart their sessions (smoothing warmup + fresh
         cache) — degraded but well-defined recovery."""
-        zero_init = jnp.zeros(2 * cst.N_DOFS, self._dtype)
-        single = self._slot_init(zero_init)
-        carries = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x, (self.capacity,) + x.shape).copy(),
-            single)
-        if self._batch_sharding is not None:
-            carries = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, self._batch_sharding), carries)
+        carries = self._empty_pool()
         for slot in np.flatnonzero(self.active):
             fresh = self._slot_init(jnp.asarray(self._s_inits[slot],
                                                 self._dtype))
