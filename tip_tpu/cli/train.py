@@ -45,6 +45,16 @@ def main():
     ap.add_argument("--metrics", default=None,
                     help="structured jsonl training log (default: "
                          "<save_path>/metrics.jsonl)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 compute (PERF.md: -1.5 ms/step at the "
+                         "paper config; params/optimizer stay f32)")
+    ap.add_argument("--dropout_rng", default="threefry",
+                    choices=["threefry", "rbg"],
+                    help="rbg = TPU hardware generator, ~2 ms/step faster; "
+                         "threefry = cross-backend-reproducible default")
+    ap.add_argument("--rnn_impl", default="scan", choices=["scan", "pallas"],
+                    help="pallas = fused RNN fwd + BPTT bwd kernels "
+                         "(differentiable, grads scan-exact; ~0.3 ms/step)")
     args = ap.parse_args()
 
     import jax
@@ -59,13 +69,15 @@ def main():
         tf_in_dim=args.tf_in_dim, tf_hid_size=args.tf_nhid,
         n_heads=args.n_heads, tf_layers=args.tf_layers,
         rnn_hid_size=args.rnn_nhid, in_dropout=args.in_dropout,
-        past_dropout=args.past_dropout)
+        past_dropout=args.past_dropout,
+        compute_dtype="bfloat16" if args.bf16 else None,
+        rnn_impl=args.rnn_impl)
     cfg = train_lib.TrainConfig(
         model=model_cfg, n_sbps=args.n_sbps, batch_size=args.batch_size,
         seq_len=args.seq_len, lr=args.lr, optimizer=args.optim,
         weight_decay=args.weight_decay, clip=args.clip, epochs=args.epochs,
         cosine_lr=args.cosine_lr, noise_input_hist=args.noise_input_hist,
-        seed=args.seed)
+        seed=args.seed, dropout_rng_impl=args.dropout_rng)
 
     ds = data_lib.PackedDataset.load(
         args.data_prefix + "_imu.npy", args.data_prefix + "_s.npy",

@@ -238,9 +238,12 @@ def forward(params, x_imu, x_s, cfg: ModelConfig, *,
         xin = x @ rnn["w_ih"] + rnn["b_ih"] + rnn["b_hh"]
 
         if cfg.rnn_impl == "pallas":
-            from tip_tpu.ops.pallas_kernels import fused_rnn
-            x = fused_rnn(xin, rnn["w_hh"],
-                          interpret=jax.default_backend() != "tpu")
+            # differentiable fused RNN: forward kernel + BPTT backward
+            # kernel via custom_vjp (ops.pallas_kernels.fused_rnn_train) —
+            # usable under jax.grad for training, identical under inference
+            from tip_tpu.ops.pallas_kernels import fused_rnn_train
+            x = fused_rnn_train(xin, rnn["w_hh"],
+                                jax.default_backend() != "tpu")
         else:
             def cell(h, x_t):
                 h = jnp.tanh(x_t + h @ rnn["w_hh"])
