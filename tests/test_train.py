@@ -278,6 +278,27 @@ def test_train_loop_gather_on_device(tmp_path):
     assert vals[-1] < vals[0]
 
 
+def test_sharded_step_falls_back_from_pallas_rnn():
+    """rnn_impl='pallas' under a mesh silently uses the scan (Pallas has no
+    SPMD partitioning rule); gradients are identical either way, so only
+    speed changes — the step must compile and run on the virtual mesh."""
+    import dataclasses
+
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=2)
+    tiny = dataclasses.replace(TINY, rnn_impl="pallas")
+    cfg = train_lib.TrainConfig(model=tiny, batch_size=8, seq_len=8,
+                                noise_input_hist=0.0, seed=0)
+    state = train_lib.shard_state(train_lib.init_state(cfg), mesh)
+    step = train_lib.make_train_step(cfg, mesh)
+    rng = np.random.default_rng(0)
+    xs = [jnp.asarray(rng.normal(size=(8, 8, d)).astype(np.float32))
+          for d in (90, 131, 131)]
+    bs = mesh_lib.batch_sharding(mesh)
+    xs = [jax.device_put(x, bs) for x in xs]
+    state, aux = step(state, *xs)
+    assert np.isfinite(float(aux["loss"]))
+
+
 def test_nan_loss_rollback_actually_rolls_back():
     """Exercise the non-finite-loss rollback branch (no other test feeds a
     NaN batch, so the jnp.where tree could have swapped operands without

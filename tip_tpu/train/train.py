@@ -119,6 +119,17 @@ def loss_fn(params, x_imu, x_s, y, rng, cfg: TrainConfig):
                    "loss_jerk": l_jerk}
 
 
+def _mesh_safe(cfg: TrainConfig, mesh) -> TrainConfig:
+    """Pallas kernels have no SPMD partitioning rule, so under a mesh the
+    fused-RNN training path would be replicated (or rejected) by GSPMD;
+    fall back to the scan — its gradients are bit-identical to the kernel's
+    (tests/test_pallas_kernels.py), so this changes speed only."""
+    if mesh is not None and cfg.model.rnn_impl == "pallas":
+        return dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, rnn_impl="scan"))
+    return cfg
+
+
 def make_train_step(cfg: TrainConfig, mesh=None, device_data=None):
     """Jitted train step; with a mesh, the batch shards over the data axis and
     params follow parallel.mesh.param_shardings.
@@ -130,6 +141,7 @@ def make_train_step(cfg: TrainConfig, mesh=None, device_data=None):
     training input bottleneck, PERF.md)."""
     from tip_tpu.train import data as data_lib
 
+    cfg = _mesh_safe(cfg, mesh)
     opt = make_optimizer(cfg)
 
     def step_fn(state: TrainState, x_imu, x_s, y):
@@ -187,6 +199,7 @@ def make_epoch_fn(cfg: TrainConfig, device_data, mesh=None):
     """
     from tip_tpu.train import data as data_lib
 
+    cfg = _mesh_safe(cfg, mesh)
     opt = make_optimizer(cfg)
     bs = mesh_lib.batch_sharding(mesh) if mesh is not None else None
 
