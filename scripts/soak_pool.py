@@ -3,24 +3,37 @@
 Complements scripts/soak.py (single full-runner stream): this drives the
 BATCHED serving stack — donated carries, the carry lock, the global ring
 cursor, slot recycling — for thousands of ticks with clients joining and
-leaving every few ticks, plus one injected dispatch failure to exercise the
-rebuild path. Asserts: all outputs finite for active slots, per-slot
-isolation spot-checks against solo runs, flat host RSS, and pool usability
-after the injected failure.
+leaving every few ticks. Asserted properties:
+
+  * per-slot ISOLATION: a sentinel stream (slot 0, never churned) is
+    compared tick-by-tick against a second, churn-free pool fed the same
+    frames and global ticks — the batched kernel's rows must be
+    independent, so the trajectories must agree to fp tolerance despite
+    hundreds of add/remove cycles around the sentinel;
+  * donation-failure RECOVERY: mid-run, one injected failure DELETES the
+    donated carry buffers before raising (simulating a dispatch that died
+    after donation invalidated them); the pool must rebuild and keep
+    serving without touching the deleted buffers;
+  * all active-slot outputs finite; current host RSS (from /proc/self/statm,
+    not the ru_maxrss high-water mark) reported before/after.
 
 Run on the TPU: python scripts/soak_pool.py [--ticks 3000] [--capacity 64]
 """
 
 import argparse
 import json
-import resource
+import os
+import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def rss_mb():
-    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+def rss_now_mb():
+    with open("/proc/self/statm") as f:
+        return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 2**20
 
 
 def main():
@@ -31,12 +44,9 @@ def main():
     ap.add_argument("--forward_impl", default="fused")
     args = ap.parse_args()
 
-    import sys
-
     import jax
 
-    sys.path.insert(0, ".")            # repo root (bench.py) when run as
-    from bench import make_stream      # `python scripts/soak_pool.py`
+    from bench import make_stream
     from tip_tpu.models import tip_model as M
     from tip_tpu.ops import kinematics as kin
     from tip_tpu.runtime import runner as R
@@ -49,6 +59,9 @@ def main():
     params = M.init_params(jax.random.PRNGKey(0), cfg.model)
     skel = kin.amass_skeleton()
     pool = StreamPool(params, cfg, skel, capacity=args.capacity)
+    # churn-free reference pool: only the sentinel, same ticks/frames — the
+    # per-slot isolation oracle
+    ref_pool = StreamPool(params, cfg, skel, capacity=args.capacity)
 
     s_init = np.zeros(114, np.float32)
     s_init[2] = 0.9
@@ -56,41 +69,49 @@ def main():
 
     rng = np.random.default_rng(0)
     stream = make_stream(600).astype(np.float32)
-    batch = np.zeros((args.capacity, 72), np.float32)
-    batch[:, 0] = batch[:, 4] = batch[:, 8] = 1.0
+    idle = np.zeros(72, np.float32)
+    idle[0] = idle[4] = idle[8] = 1.0
+    batch = np.tile(idle, (args.capacity, 1))
+    ref_batch = np.tile(idle, (args.capacity, 1))
 
-    # start half full
-    for _ in range(args.capacity // 2):
+    assert pool.add_stream(s_init) == 0          # sentinel, never churned
+    assert ref_pool.add_stream(s_init) == 0
+    for _ in range(args.capacity // 2 - 1):
         pool.add_stream(s_init)
 
     ok = True
-    churn = drops = adds = 0
+    drops = adds = 0
     injected_recovered = False
+    iso_max = 0.0
+    inject_at = args.ticks // 2
     t0 = time.time()
     rss_warm = None
     for t in range(args.ticks):
-        # churn: every ~8 ticks drop one random active slot / add one
         if t % 8 == 3 and pool.n_active > 4:
-            slot = int(rng.choice(np.flatnonzero(pool.active)))
-            pool.remove_stream(slot)
-            batch[slot] = 0.0
-            batch[slot, 0] = batch[slot, 4] = batch[slot, 8] = 1.0
-            drops += 1
+            active_nonsentinel = np.flatnonzero(pool.active[1:]) + 1
+            if len(active_nonsentinel):
+                slot = int(rng.choice(active_nonsentinel))
+                pool.remove_stream(slot)
+                batch[slot] = idle
+                drops += 1
         if t % 8 == 7 and pool.n_active < args.capacity:
             pool.add_stream(s_init)
             adds += 1
-        churn = drops + adds
 
         for slot in np.flatnonzero(pool.active):
             batch[slot] = stream[(t + slot) % len(stream)]
+        ref_batch[0] = batch[0]
 
-        if t == args.ticks // 2:
-            # inject one dispatch failure: the pool must rebuild and keep
-            # serving (donation-recovery path)
+        if t == inject_at:
+            # simulate a dispatch that failed AFTER donation invalidated
+            # the buffers: delete them, then raise — the rebuild must not
+            # touch the deleted carries
             orig = pool._step
 
-            def boom(*a, **k):
-                raise RuntimeError("injected soak failure")
+            def boom(params_, packed_, carries_, imu_, tick_):
+                for leaf in jax.tree_util.tree_leaves(carries_):
+                    leaf.delete()
+                raise RuntimeError("injected post-donation failure")
 
             pool._step = boom
             try:
@@ -100,15 +121,28 @@ def main():
             pool._step = orig
 
         out = pool.step(batch)
+        ref_out = ref_pool.step(ref_batch)
+
+        # isolation oracle: before the injection (which restarts the churn
+        # pool's sessions), the sentinel must track the churn-free pool
+        if t < inject_at:
+            d = float(np.abs(np.asarray(out["qdq"][0])
+                             - np.asarray(ref_out["qdq"][0])).max())
+            iso_max = max(iso_max, d)
+            if d > 1e-4:
+                ok = False
+                print(f"tick {t}: sentinel isolation broken (diff {d})")
+
         if t % 500 == 0 or t == args.ticks - 1:
             q = np.asarray(out["qdq"])[pool.active]
             if not np.isfinite(q).all():
                 ok = False
                 print(f"tick {t}: non-finite output!")
             if t == 500:
-                rss_warm = rss_mb()
-            print(f"tick {t}  active={pool.n_active}  churn={churn}  "
-                  f"rss={rss_mb():.0f} MB", flush=True)
+                rss_warm = rss_now_mb()
+            print(f"tick {t}  active={pool.n_active}  "
+                  f"churn={adds + drops}  iso_max={iso_max:.2e}  "
+                  f"rss={rss_now_mb():.0f} MB", flush=True)
 
     q = np.asarray(out["qdq"])[pool.active]
     ok = ok and bool(np.isfinite(q).all()) and injected_recovered
@@ -120,11 +154,12 @@ def main():
         "ticks": args.ticks,
         "capacity": args.capacity,
         "adds": adds, "drops": drops,
-        "injected_failure_recovered": injected_recovered,
+        "sentinel_isolation_max_diff": iso_max,
+        "injected_post_donation_failure_recovered": injected_recovered,
         "ok": ok,
         "ms_per_tick_incl_host": round(wall / args.ticks * 1e3, 3),
-        "rss_growth_mb_after_warmup": round(rss_mb() - (rss_warm or rss_mb()),
-                                            1),
+        "rss_now_growth_mb_after_warmup": round(
+            rss_now_mb() - (rss_warm or rss_now_mb()), 1),
     }))
     assert ok
 

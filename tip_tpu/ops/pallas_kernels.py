@@ -67,11 +67,11 @@ def fused_rnn(xin, w_hh, interpret: bool = False):
     out = pl.pallas_call(
         functools.partial(_rnn_kernel, t_len=T),
         out_shape=jax.ShapeDtypeStruct((T, B, H), xin.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY
                                if interpret else pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY
+                  pl.BlockSpec(memory_space=pl.ANY
                                if interpret else pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY
+        out_specs=pl.BlockSpec(memory_space=pl.ANY
                                if interpret else pltpu.VMEM),
         interpret=interpret,
         **kwargs,
@@ -140,7 +140,7 @@ def _rnn_bwd_kernel(hs_ref, whh_ref, g_ref, dx_ref, dw_ref, *, t_len: int):
 
 def _rnn_bwd(hs, w_hh, g, interpret: bool):
     B, T, H = hs.shape
-    spec = pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    spec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(

@@ -127,12 +127,16 @@ class ServeDaemon:
     # -- tick loop -----------------------------------------------------------
 
     def _tick_once(self, batch: np.ndarray):
+        # rows are filled UNDER the membership lock: a _drop racing a
+        # stale snapshot could otherwise repollute the idle row it just
+        # reset, and the departed client's last frame would leak into the
+        # next occupant's warmup (the invariant DEPLOY.md promises)
         with self._lock:
             clients = list(self._clients.values())
-        for c in clients:
-            frame = c.input.read()
-            if frame is not None:
-                batch[c.slot] = frame
+            for c in clients:
+                frame = c.input.read()
+                if frame is not None:
+                    batch[c.slot] = frame
         out = self.pool.step(batch)
         qdq = np.asarray(out["qdq"])
         for c in clients:

@@ -35,6 +35,14 @@ class StreamPool:
         modes; chunking remains useful for very large recompute-mode pools.
         Must divide capacity.
         """
+        if mesh is not None and cfg.model.rnn_impl == "pallas":
+            # pallas_call has no SPMD partitioning rule; under a meshed pool
+            # the fused RNN would be replicated or rejected by GSPMD. The
+            # scan is numerically identical (tests/test_pallas_kernels.py)
+            # — same fallback as train._mesh_safe.
+            import dataclasses
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, rnn_impl="scan"))
         self.cfg = cfg
         self.capacity = capacity
         if chunk is not None:
