@@ -128,7 +128,7 @@ def main():
     jax.block_until_ready(run(params, stream))
 
     from tip_tpu.utils.observability import profile_trace
-    reps = 3
+    reps = 5
     times = []
     with profile_trace(args.profile):
         for _ in range(reps):
@@ -136,13 +136,18 @@ def main():
             jax.block_until_ready(run(params, stream))
             times.append(time.perf_counter() - t0)
 
-    per_frame_ms = float(min(times) / N * 1e3)
+    # The north-star metric is p50 (BASELINE.json); p99 over the rep
+    # distribution is reported alongside for tail visibility.
+    per_frame = np.asarray(sorted(times)) / N * 1e3
+    per_frame_ms = float(np.percentile(per_frame, 50))
+    p99_ms = float(np.percentile(per_frame, 99))
     baseline_ms = 1000.0 / 60.0                  # reference real-time budget
     print(json.dumps({
         "metric": metric,
         "value": round(per_frame_ms, 4),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / per_frame_ms, 2),
+        "p99_ms": round(p99_ms, 4),
     }))
 
 

@@ -202,3 +202,74 @@ def test_serve_daemon_multi_client(setup_small):
     assert c.slot == a.slot
     daemon.stop()
     runner.join(timeout=10)
+
+
+def test_serve_daemon_slow_client_never_stalls_tick(setup_small,
+                                                   monkeypatch):
+    """A client that stops reading must not stall the 60 Hz tick for other
+    clients (reference live_demo robustness intent, live_demo_new.py:85-127):
+    its responses are dropped once its buffers fill, while the fast client
+    keeps receiving every tick."""
+    import json
+    import socket
+    import threading
+
+    from tip_tpu.runtime import serve_daemon as sd
+    from tip_tpu.runtime.serving import StreamPool
+
+    params, skel, cfg = setup_small
+    pool = StreamPool(params, cfg, skel, capacity=2, dtype=jnp.float64)
+    pool.step(np.zeros((2, 72)))            # pre-compile
+    s_init = TR.make_s_init()
+    # tiny user-space + kernel budgets so the slow path triggers in-test
+    monkeypatch.setattr(sd, "MAX_OUTBUF", 4096)
+    daemon = sd.ServeDaemon(pool, s_init, port=0, hz=240.0,
+                            log=lambda *a: None, sndbuf=4096)
+    runner = threading.Thread(target=daemon.run, kwargs={"seconds": 120.0},
+                              daemon=True)
+    runner.start()
+
+    def connect():
+        sock = socket.create_connection(("127.0.0.1", daemon.port),
+                                        timeout=60)
+        buf = b""
+        while b"\n" not in buf:
+            buf += sock.recv(4096)
+        hello, buf = buf.split(b"\n", 1)
+        return sock, json.loads(hello)["slot"], buf
+
+    fast, fast_slot, fast_buf = connect()
+    slow, slow_slot, _ = connect()
+    # the slow client sends one frame then NEVER reads its socket again
+    frame = " ".join(
+        f"{v:.6f}" for v in np.tile([0.0, 0, 0, 1, 0, 0, 0], 6)) + " "
+    slow.sendall(frame.encode())
+
+    # the fast client keeps reading; every tick emits a line per client, so
+    # with a blocking write path the loop would freeze once the slow
+    # client's ~8 KB of buffers fill (< 10 ticks) and these reads time out
+    fast.settimeout(30.0)
+    ticks = []
+    deadline = time.time() + 60.0
+    while len(ticks) < 120 and time.time() < deadline:
+        fast_buf += fast.recv(4096)
+        while b"\n" in fast_buf:
+            line, fast_buf = fast_buf.split(b"\n", 1)
+            ticks.append(json.loads(line)["t"])
+    assert len(ticks) >= 120, "tick loop stalled behind the slow client"
+    assert ticks == sorted(ticks)
+    # the slow client is still CONNECTED (drop-responses, not drop-client),
+    # and its overflow was handled by dropping lines
+    with daemon._lock:
+        slow_client = daemon._clients.get(slow_slot)
+    assert slow_client is not None and slow_client.alive
+    assert slow_client.dropped > 0
+    # a resumed reader re-syncs: drain whatever buffered, then expect fresh
+    # monotonically increasing ticks
+    slow.settimeout(30.0)
+    got = b""
+    while b"\n" not in got:
+        got += slow.recv(4096)
+    assert json.loads(got.split(b"\n", 1)[0])["t"] >= 0
+    daemon.stop()
+    runner.join(timeout=10)

@@ -35,6 +35,11 @@ def main():
                     help="SBP-conditioned IK history feedback + pelvis "
                          "terrain updates (needs --full_runner; reference "
                          "MULTI_SBP_CORRECTION)")
+    ap.add_argument("--map_bound", type=float, default=None,
+                    help="terrain grid half-extent in metres for "
+                         "--full_runner (default: the reference's +-5 m, "
+                         "constants.MAP_BOUND; raise for corpora that "
+                         "wander beyond it)")
     ap.add_argument("--save_trajs", default=None,
                     help="dump raw gt/pred trajectories to this pkl "
                          "(reference test-output-tmp.pkl)")
@@ -79,7 +84,9 @@ def main():
                                        with_acc_sum=args.with_acc_sum,
                                        serving_mode=args.serving_mode),
         use_full_runner=args.full_runner, multi_sbp=args.multi_sbp,
-        test_len=args.test_len, seed=args.seed)
+        test_len=args.test_len, seed=args.seed,
+        **({"terrain_map_bound": args.map_bound}
+           if args.map_bound is not None else {}))
 
     dirs = [d.replace("v0", args.tag) for d in TEST_DIRS_V0]
     files = H.collect_test_files(args.data_root, dirs,

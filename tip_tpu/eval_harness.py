@@ -46,6 +46,12 @@ class EvalConfig:
     crop_head: int = 30                 # first 0.5 s uninteresting (ref :437)
     crop_tail: int = 6
     root_z_lift: float = 0.05           # amass floor calibration (ref :387)
+    # Terrain grid half-extent for the full runner, in metres. Default
+    # matches the reference's +-5 m map (constants.py MAP_BOUND; reference
+    # constants.py:26-28). Raise it for eval corpora whose roots wander
+    # beyond +-5 m (the fixed-capacity grid clamps out-of-bound SBPs to the
+    # edge cell, degrading root-height correction near the boundary).
+    terrain_map_bound: float = cst.MAP_BOUND
 
 
 def collect_test_files(data_root: str, dirs: Sequence[str],
@@ -74,7 +80,8 @@ def run_motion(params, cfg: EvalConfig, skel: kin.Skeleton,
     if cfg.use_full_runner:
         fcfg = full_runner_lib.FullRunnerConfig(
             base=cfg.runner, multi_sbp=cfg.multi_sbp,
-            terrain=terrain_lib.TerrainConfig(map_bound=cst.MAP_BOUND * 2.0))
+            terrain=terrain_lib.TerrainConfig(
+                map_bound=cfg.terrain_map_bound))
         s_traj, c_traj, viz, final = full_runner_lib.run_offline_full(
             params, fcfg, skel, jnp.asarray(s_gt[0], jnp.float32),
             jnp.asarray(imu, jnp.float32))

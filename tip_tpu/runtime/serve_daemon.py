@@ -18,6 +18,7 @@ slow client drops responses, never stalls the tick).
 """
 
 import json
+import select
 import socket
 import threading
 import time
@@ -29,6 +30,11 @@ from tip_tpu import constants as cst
 from tip_tpu.runtime.imu_client import SeqlockSlot, drain_wire_frames
 from tip_tpu.runtime.serving import StreamPool
 
+# Per-client outgoing byte budget. A client that stops reading fills its
+# kernel TCP buffer, then this; past it, whole response lines are DROPPED
+# (latest-wins telemetry — a resumed reader re-syncs on the next tick).
+MAX_OUTBUF = 1 << 16
+
 
 class _Client:
     def __init__(self, conn: socket.socket, slot: int):
@@ -36,6 +42,30 @@ class _Client:
         self.slot = slot
         self.input = SeqlockSlot(72)
         self.alive = True
+        # outgoing buffer: only the tick thread touches it (no lock); keeps
+        # jsonl framing intact across partial non-blocking sends
+        self.outbuf = bytearray()
+        self.dropped = 0
+
+    def send_line(self, line: bytes) -> bool:
+        """Best-effort non-blocking send. Queues the whole line (or drops it
+        when the buffer is full), then flushes what the socket accepts.
+        Returns False when the connection is dead."""
+        if len(self.outbuf) + len(line) <= MAX_OUTBUF:
+            self.outbuf += line
+        else:
+            self.dropped += 1
+        while self.outbuf:
+            try:
+                n = self.conn.send(self.outbuf)
+            except (BlockingIOError, InterruptedError):
+                break                      # kernel buffer full — try next tick
+            except OSError:
+                return False
+            if n <= 0:
+                break
+            del self.outbuf[:n]
+        return True
 
 
 class ServeDaemon:
@@ -43,11 +73,16 @@ class ServeDaemon:
 
     def __init__(self, pool: StreamPool, s_init: np.ndarray,
                  host: str = "127.0.0.1", port: int = 27100,
-                 hz: float = 1.0 / cst.DT, log=print):
+                 hz: float = 1.0 / cst.DT, log=print,
+                 sndbuf: Optional[int] = None):
         self.pool = pool
         self.s_init = np.asarray(s_init, np.float32)
         self.hz = hz
         self.log = log
+        # optional SO_SNDBUF cap for accepted sockets: bounds how much a
+        # non-reading client can absorb in the kernel before send_line
+        # starts dropping (also makes the drop path testable)
+        self.sndbuf = sndbuf
         self._clients: Dict[int, _Client] = {}     # slot -> client
         self._lock = threading.Lock()              # membership only
         self._running = False
@@ -65,11 +100,21 @@ class ServeDaemon:
     # -- client side ---------------------------------------------------------
 
     def _reader(self, client: _Client):
+        # the client socket is non-blocking (the tick thread writes it too);
+        # wait for readability with select instead of a blocking recv
         data = ""
         conn = client.conn
         while self._running and client.alive:
             try:
+                ready, _, _ = select.select([conn], [], [], 0.25)
+            except (OSError, ValueError):
+                break
+            if not ready:
+                continue
+            try:
                 chunk = conn.recv(4096).decode("ascii")
+            except (BlockingIOError, InterruptedError):
+                continue
             except OSError:
                 break
             if not chunk:
@@ -108,6 +153,9 @@ class ServeDaemon:
                     pass
                 conn.close()
                 continue
+            if self.sndbuf:
+                conn.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF,
+                                self.sndbuf)
             client = _Client(conn, slot)
             with self._lock:
                 self._clients[slot] = client
@@ -119,6 +167,9 @@ class ServeDaemon:
                 # accept thread and leak the slot forever)
                 self._drop(client)
                 continue
+            # non-blocking from here on: tick-thread writes must never stall
+            # the 60 Hz loop on a slow reader (send_line drops instead)
+            conn.setblocking(False)
             threading.Thread(target=self._reader, args=(client,),
                              daemon=True).start()
             self.log(f"client {addr} -> slot {slot} "
@@ -143,28 +194,38 @@ class ServeDaemon:
             line = (json.dumps({"t": self.ticks,
                                 "qdq": np.round(qdq[c.slot], 5).tolist()})
                     + "\n").encode()
-            try:
-                c.conn.sendall(line)
-            except OSError:
+            if not c.send_line(line):
                 self._drop(c)
         self.ticks += 1
 
-    def run(self, seconds: Optional[float] = None):
+    def run(self, seconds: Optional[float] = None,
+            max_consecutive_failures: int = 30):
         self._running = True
         threading.Thread(target=self._accept_loop, daemon=True).start()
         batch = self._batch
         dt = 1.0 / self.hz
         t_end = time.time() + seconds if seconds else None
+        fails = 0
         try:
             while self._running and (t_end is None or time.time() < t_end):
                 t0 = time.perf_counter()
                 try:
                     self._tick_once(batch)
+                    fails = 0
                 except Exception as e:          # noqa: BLE001 — keep serving
                     # a failed tick rebuilds the pool state (StreamPool.step
-                    # donation recovery); log and keep the 60 Hz loop alive
+                    # donation recovery); log, back off (a persistent error
+                    # must not spin+log at 60 Hz), and give up after a run of
+                    # failures — that's a misconfig, not a transient
+                    fails += 1
                     self.log(f"tick {self.ticks} failed ({e!r}); "
-                             f"pool rebuilt, sessions restarted")
+                             f"pool rebuilt, sessions restarted "
+                             f"({fails} consecutive)")
+                    if fails >= max_consecutive_failures:
+                        self.log(f"{fails} consecutive tick failures; "
+                                 "shutting down")
+                        break
+                    time.sleep(min(dt * (2 ** min(fails, 6)), 2.0))
                 sleep = dt - (time.perf_counter() - t0)
                 if sleep > 0:
                     time.sleep(sleep)

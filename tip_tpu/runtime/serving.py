@@ -152,7 +152,11 @@ class StreamPool:
         return slot
 
     def remove_stream(self, slot: int):
-        self.active[slot] = False
+        # active[] is part of the lock-protected pool membership (a remove
+        # racing add_stream's free-slot scan or a failed-tick rebuild must
+        # not observe a half-updated membership)
+        with self._carries_lock:
+            self.active[slot] = False
 
     @property
     def n_active(self) -> int:
