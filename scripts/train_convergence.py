@@ -1,0 +1,213 @@
+"""Convergence run: corpus -> pack -> paper-recipe training -> 8-metric eval.
+
+The framework's quality proof (VERDICT r2 item 1): train the paper
+configuration (reference README.md:103 / train_model.py:21-74 — bs 256,
+lr 1e-4, AdamW wd 1e-4, per-batch cosine with T_max=epochs+850, clip 5.0,
+history noise U(+-0.15), past_dropout 0.8, 5 SBPs, acc-sum feature,
+seed 5104) to convergence on the procedural corpus (data_gen/corpus.py),
+then run the offline metric protocol (reference
+offline_testing_simple.py:447-461) on held-out motions in every serving
+mode.  Results land in <out>/results.json; RESULTS.md is authored from it.
+
+Every phase is resumable: corpus files are skipped when present, packing is
+skipped when the blobs exist, training restores the latest orbax checkpoint
+(full state: params+opt+step+rng) and fast-forwards the host-side window
+sampler, eval caches per-mode metric dumps.
+
+Run (real TPU, hours):
+  python scripts/train_convergence.py --epochs 1100 --out /root/corpus_run
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TEST_DURATION_S = 11.0          # fixed-length held-out clips: the streaming
+                                # eval compiles once per (mode, length)
+
+
+def phase_corpus(out, n_train, n_test):
+    from tip_tpu.data_gen import corpus
+    t0 = time.time()
+    n = corpus.generate_corpus(os.path.join(out, "corpus_train"), n_train,
+                               seed=100)
+    n += corpus.generate_corpus(os.path.join(out, "corpus_test"), n_test,
+                                seed=900, duration_s=TEST_DURATION_S)
+    print(f"corpus: {n} new motions ({time.time()-t0:.0f}s)")
+
+
+def phase_pack(out):
+    from tip_tpu.data_gen.combine import combine
+    prefix = os.path.join(out, "packed")
+    if os.path.exists(prefix + "_imu.npy"):
+        return prefix
+    t0 = time.time()
+    combine([os.path.join(out, "corpus_train")], [1], prefix, seed=0)
+    print(f"packed in {time.time()-t0:.0f}s")
+    return prefix
+
+
+def make_train_cfg(epochs):
+    from tip_tpu import constants as cst
+    from tip_tpu.models.tip_model import ModelConfig
+    from tip_tpu.train import train as train_lib
+    model_cfg = ModelConfig(size_s=cst.state_dim(5), with_acc_sum=True,
+                            compute_dtype="bfloat16", rnn_impl="pallas")
+    return train_lib.TrainConfig(
+        model=model_cfg, n_sbps=5, epochs=epochs, optimizer="AdamW",
+        dropout_rng_impl="rbg")
+
+
+def phase_train(out, prefix, epochs):
+    """Whole-epoch-scan training driver (one dispatch per epoch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tip_tpu.train import data as data_lib
+    from tip_tpu.train import train as train_lib
+    from tip_tpu.utils.observability import MetricsWriter
+
+    cfg = make_train_cfg(epochs)
+    ds = data_lib.PackedDataset.load(prefix + "_imu.npy", prefix + "_s.npy",
+                                     prefix + "_info.npy", with_acc_sum=True)
+    ckpt_dir = os.path.join(out, "ckpt")
+
+    np_rng = np.random.default_rng(cfg.seed)
+    n_windows = len(data_lib.sample_epoch_indices(ds.info, cfg.seq_len,
+                                                  np.random.default_rng(0)))
+    n_batches = n_windows // cfg.batch_size
+    print(f"dataset: {ds.imu.shape[0]} frames, {n_windows} windows/epoch, "
+          f"{n_batches} batches/epoch")
+
+    state = train_lib.init_state(cfg)
+    done_epochs = 0
+    try:
+        state = train_lib.restore_checkpoint(ckpt_dir, cfg)
+        done_epochs = int(state.step) // n_batches
+    except FileNotFoundError:
+        pass
+    if done_epochs:
+        # replay the host-side sampling stream so resumed epochs see the
+        # window schedule they would have seen uninterrupted
+        for _ in range(done_epochs):
+            data_lib.sample_epoch_indices(ds.info, cfg.seq_len, np_rng)
+        print(f"resumed at step {int(state.step)} (epoch {done_epochs})",
+              flush=True)
+    if done_epochs >= epochs:
+        print("training already complete")
+        return ckpt_dir
+
+    device_data = data_lib.to_device(ds)
+    epoch_fn = train_lib.make_epoch_fn(cfg, device_data)
+    writer = MetricsWriter(os.path.join(out, "train_metrics.jsonl"))
+
+    t_start = time.time()
+    for ep in range(done_epochs + 1, epochs + 1):
+        idx = data_lib.sample_epoch_indices(ds.info, cfg.seq_len, np_rng)
+        ends = jnp.asarray(
+            idx[:n_batches * cfg.batch_size].reshape(n_batches,
+                                                     cfg.batch_size),
+            jnp.int32)
+        t0 = time.time()
+        state, aux = epoch_fn(state, ends)
+        loss = np.asarray(aux["loss"])
+        rec = {"epoch": ep, "mean_loss": float(np.nanmean(loss)),
+               "last_loss": float(loss[-1]),
+               "lr": float(np.asarray(aux["lr"])[-1]),
+               "grad_norm": float(np.asarray(aux["grad_norm"]).mean()),
+               "skipped": int(np.asarray(aux["skipped"]).sum()),
+               "epoch_s": round(time.time() - t0, 2)}
+        writer.write(**rec)
+        if ep % 10 == 0 or ep == 1:
+            elapsed = time.time() - t_start
+            per_ep = elapsed / (ep - done_epochs)
+            eta_h = per_ep * (epochs - ep) / 3600
+            print(json.dumps(rec) + f"  eta {eta_h:.2f}h", flush=True)
+        if ep % 25 == 0 or ep == epochs:
+            train_lib.save_checkpoint(ckpt_dir, state, ep * n_batches)
+    writer.close()
+    return ckpt_dir
+
+
+def phase_eval(out, epochs):
+    import jax.numpy as jnp  # noqa: F401 (jax init before harness imports)
+
+    from tip_tpu import eval_harness as H
+    from tip_tpu.runtime import runner as runner_lib
+    from tip_tpu.train import train as train_lib
+
+    cfg_t = make_train_cfg(epochs)
+    state = train_lib.restore_checkpoint(os.path.join(out, "ckpt"), cfg_t)
+    print(f"eval at step {int(state.step)}")
+    test_dir = os.path.join(out, "corpus_test")
+    files = [os.path.join(test_dir, f) for f in sorted(os.listdir(test_dir))
+             if f.endswith(".pkl")]
+
+    results = {"step": int(state.step), "n_test": len(files), "modes": {}}
+    res_path = os.path.join(out, "results.json")
+    if os.path.exists(res_path):
+        with open(res_path) as f:
+            results = json.load(f)
+
+    # eval model config: inference-time quirks only (no training dropout)
+    from tip_tpu import constants as cst
+    from tip_tpu.models.tip_model import ModelConfig
+    eval_model = ModelConfig(size_s=cst.state_dim(5), with_acc_sum=True)
+
+    configs = [("recompute", False), ("kv_cache", False),
+               ("kv_cache_rnn_carry", False), ("recompute_full_terrain", True)]
+    for name, full in configs:
+        if name in results["modes"]:
+            continue
+        mode = "recompute" if full else name
+        ecfg = H.EvalConfig(
+            runner=runner_lib.RunnerConfig(model=eval_model, n_sbps=5,
+                                           with_acc_sum=True,
+                                           serving_mode=mode),
+            use_full_runner=full, multi_sbp=full,
+            test_len=600, max_motions_per_cat=len(files))
+        t0 = time.time()
+        per_motion, means, maxima = H.evaluate(
+            state.params, ecfg, files, log=lambda *a: None)
+        results["modes"][name] = {
+            "means": means,
+            "maxima": {k: {"value": v, "file": os.path.basename(f)}
+                       for k, (v, f) in maxima.items()},
+            "n_motions": len(per_motion),
+            "eval_s": round(time.time() - t0, 1)}
+        print(name, json.dumps(means), flush=True)
+        with open(res_path, "w") as f:
+            json.dump(results, f, indent=1)
+    print("results ->", res_path)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default="/root/corpus_run")
+    ap.add_argument("--epochs", type=int, default=1100)
+    ap.add_argument("--n_train", type=int, default=260)
+    ap.add_argument("--n_test", type=int, default=40)
+    ap.add_argument("--phase", default="all",
+                    choices=["all", "corpus", "pack", "train", "eval"])
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.phase in ("all", "corpus"):
+        phase_corpus(args.out, args.n_train, args.n_test)
+    prefix = os.path.join(args.out, "packed")
+    if args.phase in ("all", "pack"):
+        prefix = phase_pack(args.out)
+    if args.phase in ("all", "train"):
+        phase_train(args.out, prefix, args.epochs)
+    if args.phase in ("all", "eval"):
+        phase_eval(args.out, args.epochs)
+
+
+if __name__ == "__main__":
+    main()

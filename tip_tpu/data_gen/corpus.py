@@ -483,24 +483,32 @@ _FAMILIES = (
 )
 
 
-def make_motion(rng, family: Optional[str] = None):
-    """One random motion; family sampled from the corpus mix when None."""
+def make_motion(rng, family: Optional[str] = None,
+                duration_s: Optional[float] = None):
+    """One random motion; family sampled from the corpus mix when None.
+    duration_s overrides the per-family random duration (fixed-length
+    held-out sets compile once per runner shape in the eval harness)."""
     if family is None:
         w = np.array([f[1] for f in _FAMILIES])
         family = _FAMILIES[rng.choice(len(_FAMILIES), p=w / w.sum())][0]
     kw = next(kws for n, _, kws in _FAMILIES if n == family)(rng)
+
+    def dur(lo, hi):
+        return duration_s if duration_s is not None else \
+            float(rng.uniform(lo, hi))
+
     if family.startswith("walk"):
-        return family, make_walk(rng, duration_s=float(rng.uniform(8, 16)),
-                                 **kw)
+        return family, make_walk(rng, duration_s=dur(8, 16), **kw)
     if family == "idle":
-        return family, make_idle(rng, duration_s=float(rng.uniform(6, 12)))
+        return family, make_idle(rng, duration_s=dur(6, 12))
     if family == "squat":
-        return family, make_squat(rng, duration_s=float(rng.uniform(6, 10)))
-    return family, make_freeform(rng, duration_s=float(rng.uniform(5, 10)))
+        return family, make_squat(rng, duration_s=dur(6, 10))
+    return family, make_freeform(rng, duration_s=dur(5, 10))
 
 
 def generate_corpus(out_dir: str, n_motions: int, seed: int = 0,
-                    start: int = 0, log=print) -> int:
+                    start: int = 0, duration_s: Optional[float] = None,
+                    log=print) -> int:
     """Write `n_motions` synthesized training pickles into out_dir.
 
     Resumable/idempotent like the reference generator (existing outputs are
@@ -518,7 +526,7 @@ def generate_corpus(out_dir: str, n_motions: int, seed: int = 0,
         path = os.path.join(out_dir, f"{family}_{i:04d}.pkl")
         if os.path.exists(path):
             continue
-        _, motion = make_motion(rng, family)
+        _, motion = make_motion(rng, family, duration_s=duration_s)
         payload = amass_syn.synthesize(motion, rng=rng)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
