@@ -494,8 +494,12 @@ def make_motion(rng, family: Optional[str] = None,
     kw = next(kws for n, _, kws in _FAMILIES if n == family)(rng)
 
     def dur(lo, hi):
-        return duration_s if duration_s is not None else \
-            float(rng.uniform(lo, hi))
+        if duration_s is not None:
+            return duration_s
+        # quantize to 2 s steps: motion LENGTH diversity is not useful
+        # signal, but every distinct length is a fresh XLA compile of the
+        # whole FK/SBP synthesis pipeline (jit caches are per-shape)
+        return float(rng.integers(int(lo) // 2, int(hi) // 2 + 1) * 2)
 
     if family.startswith("walk"):
         return family, make_walk(rng, duration_s=dur(8, 16), **kw)
