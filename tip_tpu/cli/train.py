@@ -55,6 +55,11 @@ def main():
     ap.add_argument("--rnn_impl", default="scan", choices=["scan", "pallas"],
                     help="pallas = fused RNN fwd + BPTT bwd kernels "
                          "(differentiable, grads scan-exact; ~0.3 ms/step)")
+    ap.add_argument("--encoder_impl", default="xla",
+                    choices=["xla", "pallas"],
+                    help="pallas = whole-encoder-layer fused fwd + "
+                         "rematerialising bwd kernels (hash-PRNG dropout; "
+                         "see PERF.md)")
     args = ap.parse_args()
 
     import jax
@@ -71,7 +76,7 @@ def main():
         rnn_hid_size=args.rnn_nhid, in_dropout=args.in_dropout,
         past_dropout=args.past_dropout,
         compute_dtype="bfloat16" if args.bf16 else None,
-        rnn_impl=args.rnn_impl)
+        rnn_impl=args.rnn_impl, encoder_impl=args.encoder_impl)
     cfg = train_lib.TrainConfig(
         model=model_cfg, n_sbps=args.n_sbps, batch_size=args.batch_size,
         seq_len=args.seq_len, lr=args.lr, optimizer=args.optim,

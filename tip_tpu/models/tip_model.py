@@ -52,6 +52,11 @@ class ModelConfig:
     layer_dropout: float = 0.1        # torch TransformerEncoderLayer default
     rnn_dropout: float = 0.0          # single-layer RNN: unused, kept for parity
     rnn_impl: str = "scan"            # "scan" (lax.scan) | "pallas" (fused VMEM kernel)
+    # "xla" (per-op loop below) | "pallas" (whole-layer fused fwd + remat
+    # bwd kernels, ops/pallas_encoder.py — the training fast path; dropout
+    # masks come from the kernel's hash PRNG instead of this rng stream,
+    # same marginal distribution). Falls back to xla under a mesh.
+    encoder_impl: str = "xla"
     # "xla" (this module's forward) | "fused" (whole-model Pallas kernel,
     # ops/fused_forward.py — inference-only, used by the streaming runner's
     # single-output fast path; bf16 weights, ~1e-2 output differences)
@@ -218,19 +223,35 @@ def forward(params, x_imu, x_s, cfg: ModelConfig, *,
     perm = head_interleave_perm(cfg)
     x = x[..., perm]
 
+    custom_mask = mask is not None
     if mask is None:
         mask = causal_mask(T, x.dtype)
 
-    for li, layer in enumerate(params["layers"]):
-        k_attn, k_d1, k_ff, k_d2 = keys[2 + 4 * li: 6 + 4 * li]
-        a = _attention(layer, x, mask, cfg, k_attn, train)
-        x = _layer_norm(x + _dropout(a, cfg.layer_dropout, k_d1, train),
-                        layer["ln1_s"], layer["ln1_b"])
-        f = jax.nn.relu(x @ layer["ff1"]["w"] + layer["ff1"]["b"])
-        f = _dropout(f, cfg.layer_dropout, k_ff, train)
-        f = f @ layer["ff2"]["w"] + layer["ff2"]["b"]
-        x = _layer_norm(x + _dropout(f, cfg.layer_dropout, k_d2, train),
-                        layer["ln2_s"], layer["ln2_b"])
+    if cfg.encoder_impl == "pallas" and not custom_mask:
+        from tip_tpu.ops import pallas_encoder as PE
+        interp = jax.default_backend() != "tpu"
+        for li, layer in enumerate(params["layers"]):
+            k_attn = keys[2 + 4 * li]
+            if train and k_attn is not None:
+                seed = jax.random.bits(
+                    k_attn, dtype=jnp.uint32).astype(jnp.int32)
+            else:
+                seed = jnp.int32(0)
+            ws = PE.pack_layer_weights(layer, x.dtype)
+            x = PE.encoder_layer_train(x, ws, seed, cfg.n_heads,
+                                       cfg.layer_dropout, train,
+                                       8, interp)
+    else:
+        for li, layer in enumerate(params["layers"]):
+            k_attn, k_d1, k_ff, k_d2 = keys[2 + 4 * li: 6 + 4 * li]
+            a = _attention(layer, x, mask, cfg, k_attn, train)
+            x = _layer_norm(x + _dropout(a, cfg.layer_dropout, k_d1, train),
+                            layer["ln1_s"], layer["ln1_b"])
+            f = jax.nn.relu(x @ layer["ff1"]["w"] + layer["ff1"]["b"])
+            f = _dropout(f, cfg.layer_dropout, k_ff, train)
+            f = f @ layer["ff2"]["w"] + layer["ff2"]["b"]
+            x = _layer_norm(x + _dropout(f, cfg.layer_dropout, k_d2, train),
+                            layer["ln2_s"], layer["ln2_b"])
 
     if cfg.with_rnn:
         rnn = params["rnn"]

@@ -124,9 +124,11 @@ def _mesh_safe(cfg: TrainConfig, mesh) -> TrainConfig:
     fused-RNN training path would be replicated (or rejected) by GSPMD;
     fall back to the scan — its gradients are bit-identical to the kernel's
     (tests/test_pallas_kernels.py), so this changes speed only."""
-    if mesh is not None and cfg.model.rnn_impl == "pallas":
+    if mesh is not None and (cfg.model.rnn_impl == "pallas"
+                             or cfg.model.encoder_impl == "pallas"):
         return dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, rnn_impl="scan"))
+            cfg, model=dataclasses.replace(cfg.model, rnn_impl="scan",
+                                           encoder_impl="xla"))
     return cfg
 
 
