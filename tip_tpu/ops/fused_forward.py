@@ -231,3 +231,154 @@ def fused_forward(packed_ws, x, cfg: M.ModelConfig, interpret: bool = False):
         out_specs=spec,
         interpret=interpret,
     )(x, *packed_ws)
+
+
+# ---------------------------------------------------------------------------
+# batched EXACT-semantics serving: the whole windowed recompute for a pool
+# of streams as two gridded kernels (encoder tile + time-major RNN tile).
+#
+# The reference-parity serving mode ("recompute", real_time_runner.py:413-426)
+# re-runs the full <=40-frame windowed forward every tick; under the pool's
+# vmap the XLA path reached only ~103k frames/s/chip (PERF.md) while the
+# approximate cached mode did 1.35M. These kernels close that gap for users
+# who need exact semantics: the 4 encoder layers run per batch-tile with a
+# block-diagonal causal mask (reusing the training kernel's math,
+# ops/pallas_encoder._layer_fwd_math with dropout off), and the sequential
+# RNN replay runs time-major at a wide tile so each of the 40 recurrent
+# matmuls is a full-width MXU op.
+# ---------------------------------------------------------------------------
+
+def _enc_batch_kernel(x_ref, *refs, cfg: M.ModelConfig, bt: int, t_len: int):
+    from tip_tpu.ops import pallas_encoder as PE
+    out_ref = refs[-1]
+    ws = refs[:-1]
+    d = cfg.tf_in_dim
+    w_in, b_in = ws[0], ws[1]
+    x = jnp.dot(x_ref[:].reshape(bt * t_len, x_ref.shape[-1]), w_in[:],
+                preferred_element_type=jnp.float32) \
+        + b_in[:].astype(jnp.float32)
+    seed = jnp.int32(0)
+    for li in range(cfg.tf_layers):
+        lw = tuple(w[:] for w in ws[2 + 12 * li: 14 + 12 * li])
+        x, _ = PE._layer_fwd_math(x, lw, seed, bt=bt, t_len=t_len,
+                                  n_heads=cfg.n_heads, p=0.0, train=False,
+                                  cd=w_in.dtype, f=jnp.float32)
+    out_ref[:] = x.reshape(bt, t_len, d).astype(out_ref.dtype)
+
+
+def _rnn_last_batch_kernel(k_ref, xenc_ref, wih_ref, br_ref, whh_ref,
+                           wout_ref, bout_ref, out_ref, *,
+                           cfg: M.ModelConfig, t_len: int):
+    """Time-major RNN replay for a stream tile; emits the output at each
+    stream's own last-valid window index."""
+    cd = wih_ref.dtype
+    bt = xenc_ref.shape[1]
+
+    def dot(a, b):
+        return jnp.dot(a.astype(cd), b, preferred_element_type=jnp.float32)
+
+    k = k_ref[:]                                    # (bt, 1) int32
+    h = jnp.zeros((bt, cfg.rnn_hid_size), jnp.float32)
+    h_sel = h
+    for t in range(t_len):
+        xin = dot(xenc_ref[t], wih_ref[:]) + br_ref[:].astype(jnp.float32)
+        h = jnp.tanh(xin + dot(h, whh_ref[:]))
+        h_sel = jnp.where(k == t, h, h_sel)
+    y = dot(h_sel, wout_ref[:]) + bout_ref[:].astype(jnp.float32)
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+def _pick_tile(B, bt):
+    bt = min(bt, B)
+    while B % bt:
+        bt -= 1
+    return bt
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "bt", "bt_rnn",
+                                             "interpret"))
+def fused_recompute_batch(packed_ws, x_full, k_last, cfg: M.ModelConfig,
+                          bt: int = 8, bt_rnn: int = 128,
+                          interpret: bool = False):
+    """Exact windowed recompute for B streams in one tick.
+
+    Args:
+      x_full: (B, T, input_dim) left-aligned windows (imu ++ history, raw —
+        the forward quirks are applied here).
+      k_last: (B,) int32 per-stream last-valid window index.
+    Returns (B, size_s) f32. Equals vmap(fused_forward_last)
+    (tests/test_fused_recompute_batch.py).
+    """
+    B, T, Din = x_full.shape
+    d = cfg.tf_in_dim
+    imu_dim = cfg.input_size_imu + (18 if cfg.with_acc_sum else 0)
+    x = jnp.nan_to_num(x_full, nan=0.0)
+    x = x.at[..., imu_dim + 108:imu_dim + 111].set(0.0)
+    x = x.astype(packed_ws[0].dtype)
+
+    bt_e = _pick_tile(B, bt)
+    enc_ws = packed_ws[:2 + 12 * cfg.tf_layers]
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    xenc = pl.pallas_call(
+        functools.partial(_enc_batch_kernel, cfg=cfg, bt=bt_e, t_len=T),
+        grid=(B // bt_e,),
+        in_specs=[pl.BlockSpec((bt_e, T, Din), lambda i: (i, 0, 0))]
+                 + [pl.BlockSpec(w.shape, lambda i, n=w.ndim: (0,) * n)
+                    for w in enc_ws],
+        out_specs=pl.BlockSpec((bt_e, T, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, T, d), packed_ws[0].dtype),
+        interpret=interpret,
+        **kwargs,
+    )(x, *enc_ws)
+
+    xenc_tm = xenc.transpose(1, 0, 2)                  # time-major (T, B, d)
+    rnn_ws = packed_ws[2 + 12 * cfg.tf_layers:]
+    bt_r = _pick_tile(B, bt_rnn)
+    k_arr = jnp.asarray(k_last, jnp.int32).reshape(B, 1)
+    y = pl.pallas_call(
+        functools.partial(_rnn_last_batch_kernel, cfg=cfg, t_len=T),
+        grid=(B // bt_r,),
+        in_specs=[pl.BlockSpec((bt_r, 1), lambda i: (i, 0)),
+                  pl.BlockSpec((T, bt_r, d), lambda i: (0, i, 0))]
+                 + [pl.BlockSpec(w.shape, lambda i, n=w.ndim: (0,) * n)
+                    for w in rnn_ws],
+        out_specs=pl.BlockSpec((bt_r, cfg.size_s), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, cfg.size_s), jnp.float32),
+        interpret=interpret,
+        **kwargs,
+    )(k_arr, xenc_tm, *rnn_ws)
+    return y
+
+
+def auto_fused_last(cfg: M.ModelConfig, interpret: bool,
+                    b_tile: int = 8, b_tile_rnn: int = 128):
+    """custom_vmap'd single-output fused forward: per stream it runs
+    fused_forward_last; under the serving pool's vmap (x and k batched,
+    weights shared) it dispatches the whole tick to fused_recompute_batch.
+
+    Signature: f(packed_ws, x (T, input_dim), k_last ()) -> (size_s,)."""
+    import jax.custom_batching
+
+    @jax.custom_batching.custom_vmap
+    def f(packed_ws, x, k_last):
+        return fused_forward_last(packed_ws, x, k_last, cfg,
+                                  interpret=interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, packed_ws, x, k_last):
+        params_b = any(jax.tree_util.tree_leaves(in_batched[0]))
+        if not params_b and in_batched[1]:
+            k_v = (k_last if in_batched[2]
+                   else jnp.broadcast_to(k_last, (axis_size,)))
+            y = fused_recompute_batch(packed_ws, x, k_v, cfg, bt=b_tile,
+                                      bt_rnn=b_tile_rnn,
+                                      interpret=interpret)
+        else:
+            y = jax.vmap(lambda xx, kk: fused_forward_last(
+                packed_ws, xx, kk, cfg, interpret=interpret))(
+                x, jnp.broadcast_to(k_last, (axis_size,)))
+        return y, True
+    return f

@@ -334,9 +334,12 @@ def sense_and_predict(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
                 packed = tuple(FF.pack_weights(params, cfg.model,
                                                dtype=pack_dtype))
             x_full = jnp.concatenate([x_imu, carry.s_and_c_win], axis=-1)
-            y_t = FF.fused_forward_last(
-                packed, x_full, last_idx, cfg.model,
-                interpret=jax.default_backend() != "tpu").astype(dtype)
+            # custom_vmap: single stream -> fused_forward_last; under the
+            # serving pool's vmap the whole tick dispatches to the batched
+            # exact-recompute kernels (FF.fused_recompute_batch)
+            step = FF.auto_fused_last(cfg.model,
+                                      jax.default_backend() != "tpu")
+            y_t = step(packed, x_full, last_idx).astype(dtype)
         else:
             y = M.forward(params, x_imu[None], carry.s_and_c_win[None],
                           cfg.model, rng=rng, train=rng is not None)
