@@ -1,0 +1,91 @@
+"""Honest training step timings at the paper config, by implementation.
+
+Measures make_epoch_fn (whole-epoch lax.scan, block_until_ready) over
+synthetic device-resident data — the same methodology as PERF.md's training
+table — for the XLA encoder vs the fused whole-layer Pallas kernels
+(ModelConfig.encoder_impl), crossed with the RNN impl and dropout RNG.
+
+  python scripts/bench_train_step.py [--steps 100] [--batch 256]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tip_tpu import constants as cst
+    from tip_tpu.models.tip_model import ModelConfig
+    from tip_tpu.train import data as data_lib
+    from tip_tpu.train import train as train_lib
+
+    # synthetic packed blobs big enough for the window sampler
+    T_total = 40 * args.batch * 4 + 800
+    rng = np.random.default_rng(0)
+    ds = data_lib.PackedDataset(
+        imu=rng.normal(size=(T_total, 72)).astype(np.float32),
+        acc_sum=rng.normal(size=(T_total, 18)).astype(np.float32),
+        s=(rng.normal(size=(T_total, 131)) * 0.1).astype(np.float32),
+        info=np.array([[0, T_total, 1]], np.int64))
+    device_data = data_lib.to_device(ds)
+    idx = data_lib.sample_epoch_indices(ds.info, 40,
+                                        np.random.default_rng(1))
+    n_b = min(args.steps, len(idx) // args.batch)
+    ends = jnp.asarray(idx[:n_b * args.batch].reshape(n_b, args.batch),
+                       jnp.int32)
+
+    variants = [
+        ("f32 threefry xla-enc scan-rnn", dict(), "threefry"),
+        ("bf16 rbg xla-enc scan-rnn",
+         dict(compute_dtype="bfloat16"), "rbg"),
+        ("bf16 rbg xla-enc pallas-rnn",
+         dict(compute_dtype="bfloat16", rnn_impl="pallas"), "rbg"),
+        ("bf16 rbg PALLAS-enc pallas-rnn",
+         dict(compute_dtype="bfloat16", rnn_impl="pallas",
+              encoder_impl="pallas"), "rbg"),
+        ("bf16 rbg PALLAS-enc scan-rnn",
+         dict(compute_dtype="bfloat16", encoder_impl="pallas"), "rbg"),
+        ("f32 threefry PALLAS-enc scan-rnn",
+         dict(encoder_impl="pallas"), "threefry"),
+    ]
+    for name, mkw, rng_impl in variants:
+        cfg = train_lib.TrainConfig(
+            model=ModelConfig(size_s=cst.state_dim(5), with_acc_sum=True,
+                              **mkw),
+            batch_size=args.batch, dropout_rng_impl=rng_impl)
+        epoch_fn = train_lib.make_epoch_fn(cfg, device_data)
+        state = train_lib.init_state(cfg)
+        s2, aux = epoch_fn(state, ends)          # compile + warmup
+        jax.block_until_ready(s2)
+        times = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            s2, aux = epoch_fn(state, ends)
+            jax.block_until_ready(s2)
+            times.append(time.perf_counter() - t0)
+        ms = float(np.median(times)) / n_b * 1e3
+        print(json.dumps({
+            "variant": name, "ms_per_step": round(ms, 3),
+            "samples_per_s": int(args.batch / ms * 1e3),
+            "steps": n_b,
+            "loss_head": round(float(np.asarray(aux["loss"])[0]), 4),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
