@@ -26,7 +26,6 @@ sys.path.insert(0, REPO)
 
 GLOBAL_BATCH = 16
 SEQ = 40
-PORT = 52123
 
 
 def tiny_cfg():
@@ -73,7 +72,7 @@ def run_step(mesh, local_slice):
     return float(np.asarray(jax.device_get(aux["loss"])))
 
 
-def worker(process_id: int, num_processes: int):
+def worker(process_id: int, num_processes: int, port: int):
     import jax
     # this rig's sitecustomize force-registers the tunneled TPU plugin and
     # overwrites jax_platforms even when the env var says cpu (CLAUDE.md);
@@ -83,7 +82,7 @@ def worker(process_id: int, num_processes: int):
     from tip_tpu.parallel import mesh as mesh_lib
 
     mesh_lib.init_distributed(
-        coordinator_address=f"127.0.0.1:{PORT}",
+        coordinator_address=f"127.0.0.1:{port}",
         num_processes=num_processes, process_id=process_id)
     assert jax.process_count() == num_processes, jax.process_count()
     mesh = mesh_lib.make_mesh()            # 4 global devices, data axis
@@ -96,13 +95,19 @@ def worker(process_id: int, num_processes: int):
 
 
 def parent():
+    # ephemeral coordinator port: concurrent/back-to-back runs must not
+    # collide on a fixed bind
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     env = dict(os.environ)
     env.update(JAX_PLATFORMS="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=2")
     env.pop("JAX_COMPILATION_CACHE_DIR", None)
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--process_id", str(i),
-         "--num_processes", "2"],
+         "--num_processes", "2", "--port", str(port)],
         env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True) for i in range(2)]
     outs = []
@@ -137,11 +142,12 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--process_id", type=int, default=None)
     ap.add_argument("--num_processes", type=int, default=2)
+    ap.add_argument("--port", type=int, default=52123)
     args = ap.parse_args()
     if args.process_id is None:
         parent()
     else:
-        worker(args.process_id, args.num_processes)
+        worker(args.process_id, args.num_processes, args.port)
 
 
 if __name__ == "__main__":

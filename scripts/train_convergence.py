@@ -153,7 +153,11 @@ def phase_eval(out, epochs):
     res_path = os.path.join(out, "results.json")
     if os.path.exists(res_path):
         with open(res_path) as f:
-            results = json.load(f)
+            cached = json.load(f)
+        # the per-mode cache is only valid for THIS checkpoint step —
+        # a resumed run must not mix metrics from different checkpoints
+        if cached.get("step") == int(state.step):
+            results = cached
 
     # eval model config: inference-time quirks only (no training dropout)
     from tip_tpu import constants as cst
@@ -171,7 +175,11 @@ def phase_eval(out, epochs):
                                            with_acc_sum=True,
                                            serving_mode=mode),
             use_full_runner=full, multi_sbp=full,
-            test_len=600, max_motions_per_cat=len(files))
+            test_len=600, max_motions_per_cat=len(files),
+            # corpus walks wander well past the reference's +-5 m terrain
+            # grid (up to ~13 m over 11 s); cover them so the full-runner
+            # metrics aren't distorted by edge-cell clamping
+            terrain_map_bound=16.0)
         t0 = time.time()
         per_motion, means, maxima = H.evaluate(
             state.params, ecfg, files, log=lambda *a: None)

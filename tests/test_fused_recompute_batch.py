@@ -32,14 +32,24 @@ def setup(B=8, T=40, dtype=jnp.float32):
     return params, packed, x, k, imu_dim
 
 
-def test_batch_matches_single_stream_kernel():
-    _, packed, x, k, _ = setup()
+import pytest
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 1e-5),
+                                       (jnp.bfloat16, 2e-2)])
+def test_batch_matches_single_stream_kernel(dtype, tol):
+    """Both dispatches of auto_fused_last must agree at the PRODUCTION
+    packing dtype too (bf16): x enters the in-projection f32 in both, so
+    residual differences are reduction-order only."""
+    params, _, x, k, _ = setup()
+    packed = tuple(FF.pack_weights(params, CFG, dtype=dtype))
+    x = x.astype(jnp.float32)
     yb = FF.fused_recompute_batch(packed, x, k, CFG, bt=4, bt_rnn=4,
                                   interpret=True)
     ys = jnp.stack([FF.fused_forward_last(packed, x[b], k[b], CFG,
                                           interpret=True)
                     for b in range(x.shape[0])])
-    assert float(jnp.abs(yb - ys).max()) < 1e-5
+    assert float(jnp.abs(yb - ys).max()) < tol
 
 
 def test_batch_matches_xla_forward_at_last_index():

@@ -31,16 +31,6 @@ from tip_tpu.ops import imu as imu_ops
 from tip_tpu.ops import rotations as rot
 
 
-def pose_state_to_two_axis(s_q):
-    """(T, 57) [xyz, root aa, 17 aa, root v? no] -> reference
-    batch_to_rot_mat_2axis semantics (data_utils.py:182-187): the first 54
-    channels are 18 axis-angles -> 108 two-axis values; the last 3 pass
-    through unchanged."""
-    aa = s_q[:, :54].reshape(-1, 18, 3)
-    sixd = np.asarray(rot.aa_to_sixd(jnp.asarray(aa))).reshape(len(s_q), 108)
-    return np.concatenate([sixd, s_q[:, 54:57]], axis=1)
-
-
 @jax.jit
 def _features_jax(imu, bias, s_aa):
     """The whole per-motion jax chain as ONE compiled dispatch — the eager

@@ -55,7 +55,12 @@ class ModelConfig:
     # "xla" (per-op loop below) | "pallas" (whole-layer fused fwd + remat
     # bwd kernels, ops/pallas_encoder.py — the training fast path; dropout
     # masks come from the kernel's hash PRNG instead of this rng stream,
-    # same marginal distribution). Falls back to xla under a mesh.
+    # same marginal distribution; deterministic/inference calls run the
+    # same kernel, fp-close to the xla loop). pallas_call has no SPMD
+    # partitioning rule, so pjit/mesh TRAINING swaps this back to "xla" in
+    # train._mesh_safe — forward() itself does not detect meshes; don't
+    # set "pallas" on configs that will trace under a mesh elsewhere.
+    # Custom attention masks always take the xla loop.
     encoder_impl: str = "xla"
     # "xla" (this module's forward) | "fused" (whole-model Pallas kernel,
     # ops/fused_forward.py — inference-only, used by the streaming runner's

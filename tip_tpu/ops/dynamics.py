@@ -16,7 +16,10 @@ as batched JAX ops:
   * `spd_torques` — stable PD (the mass-matrix-free form of Tan et al.'s
     SPD, which is what makes Bullet's STABLE_PD_CONTROL robust at large
     kp·dt): the position error is evaluated at the Δt-PREDICTED joint
-    rotation and the damping acts on the full next-step velocity estimate;
+    rotation, which adds an implicit kp·Δt damping term; the explicit kd
+    damping stays on the current velocity (full SPD would also damp the
+    next-step velocity estimate through the mass matrix — there is no
+    dynamics engine here, see spd_torques' docstring);
   * `mode_gains` — the reference's per-mode gain quirks (SPD: kp/kd as-is;
     PD: 1.5·kp, 0.01·kd, bullet_agent.py:607-609; CPD/CP/V: cpd_ratio
     scaled, :610-614).

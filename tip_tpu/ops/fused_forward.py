@@ -288,13 +288,6 @@ def _rnn_last_batch_kernel(k_ref, xenc_ref, wih_ref, br_ref, whh_ref,
     out_ref[:] = y.astype(out_ref.dtype)
 
 
-def _pick_tile(B, bt):
-    bt = min(bt, B)
-    while B % bt:
-        bt -= 1
-    return bt
-
-
 @functools.partial(jax.jit, static_argnames=("cfg", "bt", "bt_rnn",
                                              "interpret"))
 def fused_recompute_batch(packed_ws, x_full, k_last, cfg: M.ModelConfig,
@@ -309,14 +302,18 @@ def fused_recompute_batch(packed_ws, x_full, k_last, cfg: M.ModelConfig,
     Returns (B, size_s) f32. Equals vmap(fused_forward_last)
     (tests/test_fused_recompute_batch.py).
     """
+    from tip_tpu.ops.tiling import pick_tile
+
     B, T, Din = x_full.shape
     d = cfg.tf_in_dim
     imu_dim = cfg.input_size_imu + (18 if cfg.with_acc_sum else 0)
+    # x stays f32 into the in-projection — same mixed-precision dot as the
+    # single-stream kernel (fused_forward_last), so both dispatches of
+    # auto_fused_last agree at any packing dtype
     x = jnp.nan_to_num(x_full, nan=0.0)
     x = x.at[..., imu_dim + 108:imu_dim + 111].set(0.0)
-    x = x.astype(packed_ws[0].dtype)
 
-    bt_e = _pick_tile(B, bt)
+    bt_e = pick_tile(B, bt, "fused_recompute_batch(encoder)")
     enc_ws = packed_ws[:2 + 12 * cfg.tf_layers]
     kwargs = {}
     if not interpret:
@@ -336,7 +333,7 @@ def fused_recompute_batch(packed_ws, x_full, k_last, cfg: M.ModelConfig,
 
     xenc_tm = xenc.transpose(1, 0, 2)                  # time-major (T, B, d)
     rnn_ws = packed_ws[2 + 12 * cfg.tf_layers:]
-    bt_r = _pick_tile(B, bt_rnn)
+    bt_r = pick_tile(B, bt_rnn, "fused_recompute_batch(rnn)")
     k_arr = jnp.asarray(k_last, jnp.int32).reshape(B, 1)
     y = pl.pallas_call(
         functools.partial(_rnn_last_batch_kernel, cfg=cfg, t_len=T),
@@ -377,8 +374,17 @@ def auto_fused_last(cfg: M.ModelConfig, interpret: bool,
                                       bt_rnn=b_tile_rnn,
                                       interpret=interpret)
         else:
-            y = jax.vmap(lambda xx, kk: fused_forward_last(
-                packed_ws, xx, kk, cfg, interpret=interpret))(
-                x, jnp.broadcast_to(k_last, (axis_size,)))
+            # generic total fallback (e.g. batched weights, or x shared
+            # while k is batched): broadcast every unbatched input and
+            # vmap the single-stream kernel — correct, but serialised
+            def bcast(leaf, b):
+                return leaf if b else jnp.broadcast_to(
+                    leaf, (axis_size,) + jnp.shape(leaf))
+
+            pw = jax.tree_util.tree_map(bcast, packed_ws, in_batched[0])
+            xx = bcast(x, in_batched[1])
+            kk = bcast(k_last, in_batched[2])
+            y = jax.vmap(lambda p, a, b: fused_forward_last(
+                p, a, b, cfg, interpret=interpret))(pw, xx, kk)
         return y, True
     return f

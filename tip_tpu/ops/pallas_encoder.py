@@ -34,8 +34,10 @@ documented in PERF.md; the deterministic (train=False or p=0) path is
 numerically equivalent to the XLA layer to fp tolerance.
 
 Used by models.tip_model.forward when ``ModelConfig(encoder_impl="pallas")``
-(training path; falls back to the XLA loop under a mesh — pallas_call has
-no SPMD partitioning rule — and for inference).
+for training AND deterministic inference (fp-close to the XLA loop; exact
+parity tests below run train=False). pallas_call has no SPMD partitioning
+rule, so mesh TRAINING falls back to the XLA loop via train._mesh_safe;
+forward() itself does not detect meshes.
 """
 
 import functools
@@ -273,10 +275,8 @@ def _bwd_kernel(seed_ref, x_ref, dy_ref, *refs,
 
 
 def _pick_bt(B, bt):
-    bt = min(bt, B)
-    while B % bt:
-        bt -= 1
-    return bt
+    from tip_tpu.ops.tiling import pick_tile
+    return pick_tile(B, bt, "encoder_layer_train")
 
 
 def _f_for(x):

@@ -24,7 +24,6 @@ Two RNN-head policies (RunnerConfig.serving_mode):
     single-stream latency floor identified in PERF.md.
 """
 
-import warnings
 from typing import Tuple
 
 import jax
@@ -539,18 +538,10 @@ def fused_cached_batch(packed_ws, cache: KVCache, x_tokens, slot, commit,
         # the replay path carries an extra (bt, W-1, H) f32 block of RNN
         # pre-activations; halve the tile to stay inside scoped VMEM
         b_tile = min(b_tile, 64)
-    preferred = min(b_tile, B)
-    bt = preferred
-    while B % bt:          # largest divisor <= the preferred tile (a pool
-        bt -= 1            # of e.g. 96 streams must not assert at trace)
-    if bt * 2 <= preferred:
-        # e.g. a prime pool size degenerates to bt=1 — a severe per-stream
-        # grid perf cliff; size pools as multiples of the tile (DEPLOY.md)
-        warnings.warn(
-            f"fused_cached_batch: pool size {B} is not divisible by the "
-            f"preferred stream tile {preferred}; falling back to tile {bt} "
-            f"({B // bt} grid steps). Pad the pool capacity to a multiple "
-            f"of {preferred} to avoid this.", stacklevel=2)
+    # largest divisor <= the preferred tile (a pool of e.g. 96 streams must
+    # not assert at trace; a prime pool size warns — see ops.tiling)
+    from tip_tpu.ops.tiling import pick_tile
+    bt = pick_tile(B, b_tile, "fused_cached_batch")
     grid = (B // bt,)
 
     imu_dim = cfg.input_size_imu + (18 if cfg.with_acc_sum else 0)
