@@ -62,6 +62,11 @@ def main():
          dict(compute_dtype="bfloat16", encoder_impl="pallas"), "rbg"),
         ("f32 threefry PALLAS-enc scan-rnn",
          dict(encoder_impl="pallas"), "threefry"),
+        ("bf16 HASH-drop xla-enc pallas-rnn",
+         dict(compute_dtype="bfloat16", rnn_impl="pallas",
+              dropout_impl="hash"), "rbg"),
+        ("f32 HASH-drop xla-enc pallas-rnn",
+         dict(rnn_impl="pallas", dropout_impl="hash"), "threefry"),
     ]
     for name, mkw, rng_impl in variants:
         cfg = train_lib.TrainConfig(

@@ -146,3 +146,44 @@ def test_whole_model_grads_pallas_encoder_no_dropout():
     flat_x, _ = ravel_pytree(g_x)
     flat_p, _ = ravel_pytree(g_p)
     assert float(jnp.abs(flat_x - flat_p).max()) < 1e-10
+
+
+def test_model_hash_dropout_impl():
+    """ModelConfig(dropout_impl='hash'): deterministic per rng key, same
+    marginal keep rate, equals the rng path when all rates are zero."""
+    base = dict(CFG.__dict__)
+    cfg_h = M.ModelConfig(**{**base, "dropout_impl": "hash"})
+    params = M.init_params(jax.random.PRNGKey(0), cfg_h, dtype=jnp.float64)
+    B, T = 4, 12
+    x_imu = jax.random.normal(jax.random.PRNGKey(4), (B, T, 90),
+                              jnp.float64)
+    x_s = jax.random.normal(jax.random.PRNGKey(5), (B, T, 131),
+                            jnp.float64) * 0.1
+    k = jax.random.PRNGKey(9)
+    y1 = M.forward(params, x_imu, x_s, cfg_h, train=True, rng=k)
+    y2 = M.forward(params, x_imu, x_s, cfg_h, train=True, rng=k)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    y3 = M.forward(params, x_imu, x_s, cfg_h, train=True,
+                   rng=jax.random.PRNGKey(10))
+    assert float(jnp.abs(y1 - y3).max()) > 1e-3          # new step, new masks
+
+    # rate-zero: hash and rng paths are the same computation
+    z = dict(base)
+    z.update(layer_dropout=0.0, past_dropout=0.0, in_dropout=0.0)
+    cfg_h0 = M.ModelConfig(**{**z, "dropout_impl": "hash"})
+    cfg_r0 = M.ModelConfig(**z)
+    ya = M.forward(params, x_imu, x_s, cfg_h0, train=True, rng=k)
+    yb = M.forward(params, x_imu, x_s, cfg_r0, train=True, rng=k)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=1e-12)
+
+    # marginal statistics of the nD mask generalisation
+    from tip_tpu.ops.pallas_encoder import _keep_mask
+    m4 = _keep_mask(jnp.int32(3), 210, (4, 8, 16, 32), 0.8, jnp.float32)
+    assert 0.77 < float((m4 > 0).mean()) < 0.83
+    # 2D case unchanged vs the kernel's stream (regression: the nD rewrite
+    # must keep the linear index r*ncols + c)
+    m2 = _keep_mask(jnp.int32(7), 0, (64, 256), 0.9, jnp.float32)
+    r, c = 11, 57
+    lin = _keep_mask(jnp.int32(7), 0, (1, 64 * 256), 0.9, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(m2).reshape(-1),
+                                  np.asarray(lin)[0])

@@ -62,6 +62,12 @@ class ModelConfig:
     # set "pallas" on configs that will trace under a mesh elsewhere.
     # Custom attention masks always take the xla loop.
     encoder_impl: str = "xla"
+    # "rng" (jax.random per-site keys, threefry/rbg chosen by the train
+    # config) | "hash" (counter-based murmur3 masks, ops/pallas_encoder.
+    # _keep_mask — no RNG state, fuses as elementwise int ops; the
+    # measured-fastest training configuration, PERF.md). Same marginal
+    # distribution, different stream.
+    dropout_impl: str = "rng"
     # "xla" (this module's forward) | "fused" (whole-model Pallas kernel,
     # ops/fused_forward.py — inference-only, used by the streaming runner's
     # single-output fast path; bf16 weights, ~1e-2 output differences)
@@ -163,9 +169,10 @@ def _layer_norm(x, scale, bias, eps=1e-5):
     return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _attention(layer, x, mask, cfg: ModelConfig, key, train):
+def _attention(layer, x, mask, cfg: ModelConfig, key, train, drop=None):
     """Multi-head self-attention, torch-MHA semantics (scale 1/√hd, additive
-    mask, dropout on attention weights when training)."""
+    mask, dropout on attention weights when training). ``drop`` overrides
+    the weight-dropout op (the hash-mask path)."""
     B, T, d = x.shape
     h, hd = cfg.n_heads, cfg.head_dim
     q = x @ layer["w_q"] + layer["b_q"]                   # (B,T,d) each
@@ -179,7 +186,8 @@ def _attention(layer, x, mask, cfg: ModelConfig, key, train):
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(hd)
     logits = logits + mask                                 # (T,T) broadcast
     w = jax.nn.softmax(logits, axis=-1)
-    w = _dropout(w, cfg.layer_dropout, key, train)
+    w = drop(w) if drop is not None else _dropout(w, cfg.layer_dropout,
+                                                  key, train)
     o = jnp.einsum("bhqk,bhkd->bhqd", w, v)
     o = o.transpose(0, 2, 1, 3).reshape(B, T, d)
     return o @ layer["out_proj"]["w"] + layer["out_proj"]["b"]
@@ -216,11 +224,25 @@ def forward(params, x_imu, x_s, cfg: ModelConfig, *,
     else:
         keys = list(jax.random.split(rng, 2 + 4 * cfg.tf_layers))
 
+    use_hash = (cfg.dropout_impl == "hash" and train and rng is not None)
+    if use_hash:
+        from tip_tpu.ops.pallas_encoder import _keep_mask
+        seed0 = jax.random.bits(rng, dtype=jnp.uint32).astype(jnp.int32)
+
+        def drop(x, rate, key, site):
+            if rate == 0.0:
+                return x
+            m = _keep_mask(seed0, site, x.shape, 1.0 - rate, jnp.float32)
+            return x * m.astype(x.dtype)
+    else:
+        def drop(x, rate, key, site):
+            return _dropout(x, rate, key, train)
+
     x_s = jnp.nan_to_num(x_s, nan=0.0)
-    x_imu = _dropout(x_imu, cfg.in_dropout, keys[0], train)
+    x_imu = drop(x_imu, cfg.in_dropout, keys[0], 200)
     # exclude root velocity from the history input (ref :75)
     x_s = x_s.at[..., 18 * 6:18 * 6 + 3].set(0.0)
-    x_s = _dropout(x_s, cfg.past_dropout, keys[1], train)
+    x_s = drop(x_s, cfg.past_dropout, keys[1], 201)
 
     x = jnp.concatenate([x_imu, x_s], axis=-1)
     x = x @ params["in_linear"]["w"] + params["in_linear"]["b"]
@@ -249,14 +271,20 @@ def forward(params, x_imu, x_s, cfg: ModelConfig, *,
     else:
         for li, layer in enumerate(params["layers"]):
             k_attn, k_d1, k_ff, k_d2 = keys[2 + 4 * li: 6 + 4 * li]
-            a = _attention(layer, x, mask, cfg, k_attn, train)
-            x = _layer_norm(x + _dropout(a, cfg.layer_dropout, k_d1, train),
-                            layer["ln1_s"], layer["ln1_b"])
+            attn_drop = ((lambda w, li=li, k=k_attn: drop(
+                w, cfg.layer_dropout, k, 210 + 4 * li))
+                if use_hash else None)
+            a = _attention(layer, x, mask, cfg, k_attn, train,
+                           drop=attn_drop)
+            x = _layer_norm(
+                x + drop(a, cfg.layer_dropout, k_d1, 211 + 4 * li),
+                layer["ln1_s"], layer["ln1_b"])
             f = jax.nn.relu(x @ layer["ff1"]["w"] + layer["ff1"]["b"])
-            f = _dropout(f, cfg.layer_dropout, k_ff, train)
+            f = drop(f, cfg.layer_dropout, k_ff, 212 + 4 * li)
             f = f @ layer["ff2"]["w"] + layer["ff2"]["b"]
-            x = _layer_norm(x + _dropout(f, cfg.layer_dropout, k_d2, train),
-                            layer["ln2_s"], layer["ln2_b"])
+            x = _layer_norm(
+                x + drop(f, cfg.layer_dropout, k_d2, 213 + 4 * li),
+                layer["ln2_s"], layer["ln2_b"])
 
     if cfg.with_rnn:
         rnn = params["rnn"]

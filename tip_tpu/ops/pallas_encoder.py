@@ -77,11 +77,16 @@ def pack_layer_weights(layer, dtype=jnp.float32):
 
 def _keep_mask(seed, site, shape, p_keep, f):
     """Deterministic dropout keep-mask in [0/1]*(1/p_keep), from a murmur3
-    finalizer over the element index. Pure jnp int32 ops (wraparound
-    multiplies) — identical under Mosaic and interpret mode."""
-    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    h = r * jnp.int32(shape[1]) + c
+    finalizer over the element's linear index. Pure jnp int32 ops
+    (wraparound multiplies) — identical under Mosaic, interpret mode, and
+    plain XLA (the model's ``dropout_impl="hash"`` reuses it for arbitrary
+    rank)."""
+    h = jnp.zeros(shape, jnp.int32)
+    stride = 1
+    for d in reversed(range(len(shape))):
+        h = h + jax.lax.broadcasted_iota(jnp.int32, shape, d) \
+            * jnp.int32(stride)
+        stride *= shape[d]
     s16, s13 = jnp.int32(16), jnp.int32(13)
     h = h * jnp.int32(-1640531527)                      # 0x9E3779B9
     h = h + seed + jnp.int32(site) * jnp.int32(7919)
