@@ -40,11 +40,11 @@ def main():
         (256, None, "recompute", None, "xla"),
         (256, "bfloat16", "recompute", None, "xla"),
         (512, "bfloat16", "recompute", None, "xla"),
-        # EXACT-semantics serving at pool scale: the batched fused
-        # windowed-recompute kernels (fused_forward.fused_recompute_batch)
-        (256, "bfloat16", "recompute", None, "fused"),
+        # EXACT-semantics serving via the batched fused windowed-recompute
+        # kernels — measured ~10% below the XLA rows above (the honest
+        # negative result, PERF.md round-3 study); kept for regression
+        # tracking
         (512, "bfloat16", "recompute", None, "fused"),
-        (1024, "bfloat16", "recompute", None, "fused"),
         (256, "bfloat16", "kv_cache", None, "xla"),
         (256, "bfloat16", "kv_cache_rnn_carry", None, "xla"),
         (256, "bfloat16", "kv_cache_rnn_carry", None, "fused"),

@@ -79,6 +79,14 @@ def main():
     for _ in range(args.capacity // 2 - 1):
         pool.add_stream(s_init)
 
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _iso_update(acc, a, b):
+        return jnp.maximum(acc, jnp.abs(a - b).max())
+
+    iso_dev = jnp.zeros((), jnp.float32)
+
     ok = True
     drops = adds = 0
     injected_recovered = False
@@ -86,6 +94,7 @@ def main():
     inject_at = args.ticks // 2
     t0 = time.time()
     rss_warm = None
+    rss_single_phase = None
     for t in range(args.ticks):
         if t % 8 == 3 and pool.n_active > 4:
             active_nonsentinel = np.flatnonzero(pool.active[1:]) + 1
@@ -121,25 +130,34 @@ def main():
             pool._step = orig
 
         out = pool.step(batch)
-        ref_out = ref_pool.step(ref_batch)
 
-        # isolation oracle: before the injection (which restarts the churn
-        # pool's sessions), the sentinel must track the churn-free pool
+        # isolation oracle phase (first half, up to the injection which
+        # restarts the churn pool's sessions): the sentinel must track a
+        # churn-free reference pool fed the same frames/ticks. The diff
+        # accumulates ON DEVICE (fetched every 500 ticks), and the
+        # reference pool stops after this phase: interleaving executables
+        # that exchange device buffers leaks host memory in this rig's
+        # tunnel client (PERF.md soak_pool diagnosis — single-pool serving,
+        # the production shape, is measured flat). The second half is
+        # therefore also the production-configuration RSS measurement.
         if t < inject_at:
-            d = float(np.abs(np.asarray(out["qdq"][0])
-                             - np.asarray(ref_out["qdq"][0])).max())
-            iso_max = max(iso_max, d)
-            if d > 1e-4:
-                ok = False
-                print(f"tick {t}: sentinel isolation broken (diff {d})")
+            ref_out = ref_pool.step(ref_batch)
+            iso_dev = _iso_update(iso_dev, out["qdq"][0], ref_out["qdq"][0])
 
         if t % 500 == 0 or t == args.ticks - 1:
             q = np.asarray(out["qdq"])[pool.active]
             if not np.isfinite(q).all():
                 ok = False
                 print(f"tick {t}: non-finite output!")
+            iso_max = float(iso_dev)
+            if iso_max > 1e-4:
+                ok = False
+                print(f"tick {t}: sentinel isolation broken "
+                      f"(max diff {iso_max})")
             if t == 500:
                 rss_warm = rss_now_mb()
+            if t == inject_at + 500:
+                rss_single_phase = rss_now_mb()
             print(f"tick {t}  active={pool.n_active}  "
                   f"churn={adds + drops}  iso_max={iso_max:.2e}  "
                   f"rss={rss_now_mb():.0f} MB", flush=True)
@@ -160,6 +178,9 @@ def main():
         "ms_per_tick_incl_host": round(wall / args.ticks * 1e3, 3),
         "rss_now_growth_mb_after_warmup": round(
             rss_now_mb() - (rss_warm or rss_now_mb()), 1),
+        # growth during the single-pool (production-shape) phase only
+        "rss_growth_mb_single_pool_phase": round(
+            rss_now_mb() - (rss_single_phase or rss_now_mb()), 1),
     }))
     assert ok
 
