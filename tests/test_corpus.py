@@ -123,3 +123,21 @@ def test_generate_corpus_resumable(tmp_path):
         again = pickle.load(f)
     for k in first:
         np.testing.assert_array_equal(first[k], again[k])
+
+
+def test_dance_family_contact_statistics():
+    """Step-dance fills the gap between gait (long stances) and freeform
+    (no contacts): frequent short foot contacts, finite everything."""
+    rng = np.random.default_rng(3)
+    _, m = corpus.make_motion(rng, "dance")
+    payload = amass_syn.synthesize(m, height=1.6, rng=rng)
+    for k in ("imu", "nimble_qdq", "constrs"):
+        assert np.isfinite(payload[k]).all(), k
+    c = payload["constrs"].reshape(-1, 5, 4)
+    feet = ((c[:, :2, 0] > 0) & np.isfinite(c[:, :2, 0])).mean()
+    assert 0.3 < feet < 0.85, feet
+    # contacts are MANY short stances, not a few long ones: count distinct
+    # contact runs on the left foot
+    on = (c[:, 0, 0] > 0) & np.isfinite(c[:, 0, 0])
+    runs = int(np.sum(np.diff(on.astype(int)) == 1))
+    assert runs >= 4, runs

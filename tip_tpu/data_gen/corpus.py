@@ -451,6 +451,97 @@ def make_squat(rng, duration_s: float = 9.0):
                      foot_R, foot_R, aa)
 
 
+def make_dance(rng, duration_s: float = 9.0):
+    """Step-dance: feet do planned step-touch patterns around a spot with
+    irregular timing (frequent short contacts at varied heights of the
+    bumps profile), pelvis bounces and spins, big arm/torso swing fields.
+    Fills the contact-statistics gap between gait (long stances) and
+    freeform (no contacts)."""
+    T = int(duration_s * FPS)
+    t = np.arange(T) / FPS
+    geo_l, _ = leg_geometry()
+    leg_drop = -(geo_l.hip_off[1] + geo_l.b1[1] + geo_l.b2[1])
+
+    center = rng.uniform(-1.0, 1.0, 2)
+    spin = rng.uniform(-0.6, 0.6)
+    psi = spin * t + rng.uniform(0.0, 0.25) * np.sin(
+        2 * np.pi * rng.uniform(0.3, 0.8) * t)
+
+    def plan_foot(sign, phase0):
+        """Irregular step-touch sequence: randomized per-step period/duty,
+        placements in an annulus around the center."""
+        ankle = np.zeros((T, 3))
+        fyaw = np.zeros(T)
+        t0 = phase0
+        prev = center + np.array([0.0, sign * 0.12])
+        prev_z = ANKLE_REST_H
+        ankle[:, :2] = prev
+        ankle[:, 2] = prev_z
+        while t0 < duration_s:
+            period = rng.uniform(0.5, 1.1)
+            duty = rng.uniform(0.45, 0.7)
+            ang = rng.uniform(0, 2 * np.pi)
+            r = rng.uniform(0.05, 0.3)
+            place = center + r * np.array([np.cos(ang), np.sin(ang)]) \
+                + np.array([0.0, sign * rng.uniform(0.08, 0.14)])
+            pz = ANKLE_REST_H
+            lift = t0 + duty * period
+            t1 = t0 + period
+            m_st = (t >= t0) & (t < lift)
+            m_sw = (t >= lift) & (t < t1)
+            ankle[m_st, :2] = prev
+            ankle[m_st, 2] = prev_z
+            if m_sw.any():
+                s = (t[m_sw] - lift) / max(t1 - lift, 1e-6)
+                h = _smoothstep(s)[:, None]
+                ankle[m_sw, :2] = (1 - h) * prev + h * place
+                ankle[m_sw, 2] = (prev_z + (pz - prev_z) * h[:, 0]
+                                  + rng.uniform(0.03, 0.12)
+                                  * np.sin(np.pi * s))
+            m_after = t >= t1
+            ankle[m_after, :2] = place
+            ankle[m_after, 2] = pz
+            fyaw[t >= t0] = np.interp(min(t0, duration_s - 1e-6), t, psi)
+            prev, prev_z, t0 = place, pz, t1
+        return ankle, fyaw
+
+    ankle_l, yaw_l = plan_foot(+1.0, 0.0)
+    ankle_r, yaw_r = plan_foot(-1.0, rng.uniform(0.2, 0.6))
+
+    tempo = rng.uniform(0.8, 2.0)
+    bounce = rng.uniform(0.03, 0.1)
+    pel_xy = (0.5 * (ankle_l[:, :2] + ankle_r[:, :2])
+              + rng.uniform(0.0, 0.04)
+              * np.sin(2 * np.pi * tempo * t)[:, None]
+              * np.stack([-np.sin(psi), np.cos(psi)], 1))
+    k = int(0.3 * FPS)
+    kern = np.ones(k) / k
+    pel_xy = np.stack([np.convolve(np.pad(pel_xy[:, i], (k, k), mode="edge"),
+                                   kern, "same")[k:-k] for i in range(2)], 1)
+    pel_z = (rng.uniform(0.93, 0.97) * leg_drop + ANKLE_REST_H
+             - bounce * 0.5 * (1 - np.cos(2 * np.pi * tempo * t)))
+    pelvis_p = np.concatenate([pel_xy, pel_z[:, None]], 1)
+    roll = rng.uniform(0.0, 0.08) * np.sin(2 * np.pi * tempo * t)
+    pelvis_R = (_yaw(psi)
+                @ Rotation.from_euler("xy", np.stack(
+                    [roll, np.full(T, rng.uniform(0.0, 0.08))], 1)).as_matrix()
+                @ _R_ZUP.as_matrix())
+    foot_R_l = _yaw(yaw_l) @ _R_ZUP.as_matrix()
+    foot_R_r = _yaw(yaw_r) @ _R_ZUP.as_matrix()
+
+    upper = _upper_body_walk(T, t, tempo, rng,
+                             arm_amp=rng.uniform(0.4, 0.8))
+    J = cst.SMPL_JOINT_IDX
+    for j in ("lowerback", "chest", "upperneck"):
+        ax = _unit(rng.normal(size=3))
+        upper[:, J[j]] += np.outer(
+            rng.uniform(0.05, 0.25)
+            * np.sin(2 * np.pi * rng.uniform(0.3, 1.0) * t
+                     + rng.uniform(0, 2 * np.pi)), ax)
+    return _assemble(T, pelvis_p, pelvis_R, ankle_l, ankle_r,
+                     foot_R_l, foot_R_r, upper)
+
+
 def make_freeform(rng, duration_s: float = 8.0):
     """Random multi-joint swing field (the e2e demo family): keeps the
     corpus from collapsing onto gait statistics; mostly airborne feet."""
@@ -473,13 +564,14 @@ def make_freeform(rng, duration_s: float = 8.0):
 
 # corpus mix: (family, weight, kwargs sampler)
 _FAMILIES = (
-    ("walk_flat", 0.30, lambda rng: dict(terrain="flat")),
-    ("walk_ramp", 0.12, lambda rng: dict(terrain="ramp")),
-    ("walk_stairs", 0.18, lambda rng: dict(terrain="stairs")),
+    ("walk_flat", 0.27, lambda rng: dict(terrain="flat")),
+    ("walk_ramp", 0.11, lambda rng: dict(terrain="ramp")),
+    ("walk_stairs", 0.17, lambda rng: dict(terrain="stairs")),
     ("walk_bumps", 0.08, lambda rng: dict(terrain="bumps")),
-    ("idle", 0.12, lambda rng: dict()),
-    ("squat", 0.10, lambda rng: dict()),
-    ("freeform", 0.10, lambda rng: dict()),
+    ("idle", 0.11, lambda rng: dict()),
+    ("squat", 0.09, lambda rng: dict()),
+    ("dance", 0.10, lambda rng: dict()),
+    ("freeform", 0.07, lambda rng: dict()),
 )
 
 
@@ -507,6 +599,8 @@ def make_motion(rng, family: Optional[str] = None,
         return family, make_idle(rng, duration_s=dur(6, 12))
     if family == "squat":
         return family, make_squat(rng, duration_s=dur(6, 10))
+    if family == "dance":
+        return family, make_dance(rng, duration_s=dur(6, 12))
     return family, make_freeform(rng, duration_s=dur(5, 10))
 
 
