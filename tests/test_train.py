@@ -416,3 +416,32 @@ def test_rbg_dropout_rng_runs_and_is_deterministic():
     s2, aux2 = step(state, x_imu, x_s, y)
     assert np.isfinite(float(aux1["loss"]))
     np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]))
+
+
+def test_restore_across_optimizer_mismatch_params_only(tmp_path):
+    """An AdamW checkpoint opened with an Adam TrainConfig (the common
+    inference-tool case, e.g. cli/live_demo or cli/evaluate) restores
+    params/step/rng with a fresh optimizer state and a warning, instead of
+    failing on the opt_state structure mismatch."""
+    import dataclasses
+    import warnings
+
+    cfg_w = dataclasses.replace(CFG, optimizer="AdamW")
+    state = train_lib.init_state(cfg_w)
+    step = train_lib.make_train_step(cfg_w)
+    x_imu, x_s, y = synth_batch()
+    state, _ = step(state, x_imu, x_s, y)
+    train_lib.save_checkpoint(str(tmp_path / "ckpt"), state, 1)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        restored = train_lib.restore_checkpoint(str(tmp_path / "ckpt"), CFG)
+    assert any("optimizer-state structure" in str(x.message) for x in w)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == int(state.step)
+    # fresh optimizer state matches the Adam template's structure
+    t = train_lib.init_state(CFG)
+    assert (jax.tree_util.tree_structure(restored.opt_state)
+            == jax.tree_util.tree_structure(t.opt_state))

@@ -298,6 +298,26 @@ def restore_checkpoint(ckpt_dir: str, cfg: TrainConfig,
                     f"parameter layout; current checkpoints store q/k/v "
                     f"separately (head-clean tensor parallelism). Re-export "
                     f"the weights or retrain. Original error: {e}") from e
+            if "tree structures do not match" in str(e):
+                # optimizer mismatch (e.g. an AdamW checkpoint opened by an
+                # Adam-configured tool): inference-style consumers only
+                # need the params — restore those and keep a FRESH
+                # optimizer state. Exact resume of training must match the
+                # optimizer; warn so a mismatched resume is noticed.
+                import warnings
+                warnings.warn(
+                    f"checkpoint at {ckpt_dir} stores a different "
+                    f"optimizer-state structure than "
+                    f"TrainConfig(optimizer={cfg.optimizer!r}); restoring "
+                    f"params/step/rng only (fresh optimizer state). For an "
+                    f"exact training resume, pass the optimizer used at "
+                    f"save time.", stacklevel=2)
+                raw = mngr.restore(step)      # structure-free restore
+                params = jax.tree_util.tree_map(jnp.asarray, raw["params"])
+                return TrainState(params=params,
+                                  opt_state=template.opt_state,
+                                  step=jnp.asarray(raw["step"]),
+                                  rng=jnp.asarray(raw["rng"]))
             raise
     return TrainState(params=restored["params"],
                       opt_state=restored["opt_state"],
