@@ -52,6 +52,12 @@ def main():
                     choices=["threefry", "rbg"],
                     help="rbg = TPU hardware generator, ~2 ms/step faster; "
                          "threefry = cross-backend-reproducible default")
+    ap.add_argument("--dropout_impl", default="rng",
+                    choices=["rng", "hash"],
+                    help="hash = counter-based murmur3 masks (no RNG "
+                         "state; the fastest measured training config, "
+                         "PERF.md: 7.78 ms/step with --bf16 --rnn_impl "
+                         "pallas)")
     ap.add_argument("--rnn_impl", default="scan", choices=["scan", "pallas"],
                     help="pallas = fused RNN fwd + BPTT bwd kernels "
                          "(differentiable, grads scan-exact; ~0.3 ms/step)")
@@ -76,7 +82,8 @@ def main():
         rnn_hid_size=args.rnn_nhid, in_dropout=args.in_dropout,
         past_dropout=args.past_dropout,
         compute_dtype="bfloat16" if args.bf16 else None,
-        rnn_impl=args.rnn_impl, encoder_impl=args.encoder_impl)
+        rnn_impl=args.rnn_impl, encoder_impl=args.encoder_impl,
+        dropout_impl=args.dropout_impl)
     cfg = train_lib.TrainConfig(
         model=model_cfg, n_sbps=args.n_sbps, batch_size=args.batch_size,
         seq_len=args.seq_len, lr=args.lr, optimizer=args.optim,
