@@ -156,7 +156,7 @@ def main():
                       f"(max diff {iso_max})")
             if t == 500:
                 rss_warm = rss_now_mb()
-            if t == inject_at + 500:
+            if rss_single_phase is None and t >= inject_at + 500:
                 rss_single_phase = rss_now_mb()
             print(f"tick {t}  active={pool.n_active}  "
                   f"churn={adds + drops}  iso_max={iso_max:.2e}  "
@@ -178,9 +178,11 @@ def main():
         "ms_per_tick_incl_host": round(wall / args.ticks * 1e3, 3),
         "rss_now_growth_mb_after_warmup": round(
             rss_now_mb() - (rss_warm or rss_now_mb()), 1),
-        # growth during the single-pool (production-shape) phase only
-        "rss_growth_mb_single_pool_phase": round(
-            rss_now_mb() - (rss_single_phase or rss_now_mb()), 1),
+        # growth during the single-pool (production-shape) phase only;
+        # null when the run was too short to enter that phase
+        "rss_growth_mb_single_pool_phase": (
+            round(rss_now_mb() - rss_single_phase, 1)
+            if rss_single_phase is not None else None),
     }))
     assert ok
 

@@ -143,7 +143,8 @@ def phase_eval(out, epochs):
     from tip_tpu.train import train as train_lib
 
     cfg_t = make_train_cfg(epochs)
-    state = train_lib.restore_checkpoint(os.path.join(out, "ckpt"), cfg_t)
+    state = train_lib.restore_checkpoint(os.path.join(out, "ckpt"), cfg_t,
+                                          params_only=True)
     print(f"eval at step {int(state.step)}")
     test_dir = os.path.join(out, "corpus_test")
     files = [os.path.join(test_dir, f) for f in sorted(os.listdir(test_dir))

@@ -433,9 +433,15 @@ def test_restore_across_optimizer_mismatch_params_only(tmp_path):
     state, _ = step(state, x_imu, x_s, y)
     train_lib.save_checkpoint(str(tmp_path / "ckpt"), state, 1)
 
+    # training resume stays fail-loud on the mismatch
+    import pytest
+    with pytest.raises(ValueError):
+        train_lib.restore_checkpoint(str(tmp_path / "ckpt"), CFG)
+
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        restored = train_lib.restore_checkpoint(str(tmp_path / "ckpt"), CFG)
+        restored = train_lib.restore_checkpoint(str(tmp_path / "ckpt"), CFG,
+                                                params_only=True)
     assert any("optimizer-state structure" in str(x.message) for x in w)
     for a, b in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(restored.params)):

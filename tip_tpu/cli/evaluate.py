@@ -77,7 +77,8 @@ def main():
         params = M.params_from_torch_state_dict(sd, model_cfg)
     else:
         cfg_t = train_lib.TrainConfig(model=model_cfg, n_sbps=n_sbps)
-        params = train_lib.restore_checkpoint(args.ckpt, cfg_t).params
+        params = train_lib.restore_checkpoint(args.ckpt, cfg_t,
+                                              params_only=True).params
 
     cfg = H.EvalConfig(
         runner=runner_lib.RunnerConfig(model=model_cfg, n_sbps=n_sbps,

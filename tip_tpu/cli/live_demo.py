@@ -67,8 +67,8 @@ def main():
             torch.load(args.ckpt, map_location="cpu"), model_cfg)
     else:
         params = train_lib.restore_checkpoint(
-            args.ckpt, train_lib.TrainConfig(model=model_cfg, n_sbps=n_sbps)
-        ).params
+            args.ckpt, train_lib.TrainConfig(model=model_cfg, n_sbps=n_sbps),
+            params_only=True).params
 
     cfg = FR.FullRunnerConfig(
         base=runner_lib.RunnerConfig(model=model_cfg, n_sbps=n_sbps,

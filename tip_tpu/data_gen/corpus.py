@@ -475,8 +475,10 @@ def make_dance(rng, duration_s: float = 9.0):
         t0 = phase0
         prev = center + np.array([0.0, sign * 0.12])
         prev_z = ANKLE_REST_H
+        yaw_prev = float(psi[0])
         ankle[:, :2] = prev
         ankle[:, 2] = prev_z
+        fyaw[:] = yaw_prev
         while t0 < duration_s:
             period = rng.uniform(0.5, 1.1)
             duty = rng.uniform(0.45, 0.7)
@@ -487,10 +489,16 @@ def make_dance(rng, duration_s: float = 9.0):
             pz = ANKLE_REST_H
             lift = t0 + duty * period
             t1 = t0 + period
+            # foot yaw follows the body spin but only re-aims DURING swing
+            # (held through stance, smoothly interpolated in flight — a
+            # step change here becomes a one-frame gyro spike in the
+            # synthesized ankle IMUs)
+            yaw_new = float(np.interp(min(t1, duration_s - 1e-6), t, psi))
             m_st = (t >= t0) & (t < lift)
             m_sw = (t >= lift) & (t < t1)
             ankle[m_st, :2] = prev
             ankle[m_st, 2] = prev_z
+            fyaw[m_st] = yaw_prev
             if m_sw.any():
                 s = (t[m_sw] - lift) / max(t1 - lift, 1e-6)
                 h = _smoothstep(s)[:, None]
@@ -498,11 +506,12 @@ def make_dance(rng, duration_s: float = 9.0):
                 ankle[m_sw, 2] = (prev_z + (pz - prev_z) * h[:, 0]
                                   + rng.uniform(0.03, 0.12)
                                   * np.sin(np.pi * s))
+                fyaw[m_sw] = yaw_prev + (yaw_new - yaw_prev) * _smoothstep(s)
             m_after = t >= t1
             ankle[m_after, :2] = place
             ankle[m_after, 2] = pz
-            fyaw[t >= t0] = np.interp(min(t0, duration_s - 1e-6), t, psi)
-            prev, prev_z, t0 = place, pz, t1
+            fyaw[m_after] = yaw_new
+            prev, prev_z, t0, yaw_prev = place, pz, t1, yaw_new
         return ankle, fyaw
 
     ankle_l, yaw_l = plan_foot(+1.0, 0.0)

@@ -63,8 +63,8 @@ class ModelConfig:
     # Custom attention masks always take the xla loop.
     encoder_impl: str = "xla"
     # "rng" (jax.random per-site keys, threefry/rbg chosen by the train
-    # config) | "hash" (counter-based murmur3 masks, ops/pallas_encoder.
-    # _keep_mask — no RNG state, fuses as elementwise int ops; the
+    # config) | "hash" (counter-based murmur3 masks, ops/hashmask.
+    # hash_keep_mask — no RNG state, fuses as elementwise int ops; the
     # measured-fastest training configuration, PERF.md). Same marginal
     # distribution, different stream.
     dropout_impl: str = "rng"
@@ -226,13 +226,14 @@ def forward(params, x_imu, x_s, cfg: ModelConfig, *,
 
     use_hash = (cfg.dropout_impl == "hash" and train and rng is not None)
     if use_hash:
-        from tip_tpu.ops.pallas_encoder import _keep_mask
+        from tip_tpu.ops.hashmask import hash_keep_mask
         seed0 = jax.random.bits(rng, dtype=jnp.uint32).astype(jnp.int32)
 
         def drop(x, rate, key, site):
             if rate == 0.0:
                 return x
-            m = _keep_mask(seed0, site, x.shape, 1.0 - rate, jnp.float32)
+            m = hash_keep_mask(seed0, site, x.shape, 1.0 - rate,
+                               jnp.float32)
             return x * m.astype(x.dtype)
     else:
         def drop(x, rate, key, site):

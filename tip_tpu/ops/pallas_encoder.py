@@ -75,28 +75,9 @@ def pack_layer_weights(layer, dtype=jnp.float32):
             layer["ln2_b"].astype(ln_dtype))
 
 
-def _keep_mask(seed, site, shape, p_keep, f):
-    """Deterministic dropout keep-mask in [0/1]*(1/p_keep), from a murmur3
-    finalizer over the element's linear index. Pure jnp int32 ops
-    (wraparound multiplies) — identical under Mosaic, interpret mode, and
-    plain XLA (the model's ``dropout_impl="hash"`` reuses it for arbitrary
-    rank)."""
-    h = jnp.zeros(shape, jnp.int32)
-    stride = 1
-    for d in reversed(range(len(shape))):
-        h = h + jax.lax.broadcasted_iota(jnp.int32, shape, d) \
-            * jnp.int32(stride)
-        stride *= shape[d]
-    s16, s13 = jnp.int32(16), jnp.int32(13)
-    h = h * jnp.int32(-1640531527)                      # 0x9E3779B9
-    h = h + seed + jnp.int32(site) * jnp.int32(7919)
-    h = h ^ jax.lax.shift_right_logical(h, s16)
-    h = h * jnp.int32(-2048144789)                      # 0x85EBCA6B
-    h = h ^ jax.lax.shift_right_logical(h, s13)
-    h = h * jnp.int32(-1028477387)                      # 0xC2B2AE35
-    h = h ^ jax.lax.shift_right_logical(h, s16)
-    u = (h & jnp.int32(0x7FFFFFFF)).astype(f) * f(2.0 ** -31)
-    return (u < p_keep).astype(f) * f(1.0 / p_keep)
+# the mask generator is shared public infrastructure (the XLA model path
+# uses the same stream); kernels keep the short local name
+from tip_tpu.ops.hashmask import hash_keep_mask as _keep_mask  # noqa: E402
 
 
 def _ln_fwd(x, s, b, eps=1e-5):

@@ -274,7 +274,15 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int):
 
 
 def restore_checkpoint(ckpt_dir: str, cfg: TrainConfig,
-                       step: Optional[int] = None) -> TrainState:
+                       step: Optional[int] = None,
+                       params_only: bool = False) -> TrainState:
+    """Restore a TrainState. Training resume is fail-loud: every stored
+    structure must match the config. ``params_only=True`` (inference
+    consumers — cli/evaluate, cli/live_demo, cli/serve, warm starts) also
+    accepts checkpoints whose OPTIMIZER-state structure differs (e.g. an
+    AdamW checkpoint opened by an Adam-configured tool), restoring
+    params/step/rng with a fresh optimizer state; a params-structure
+    mismatch still raises."""
     import orbax.checkpoint as ocp
     ckpt_dir = os.path.abspath(ckpt_dir)
     template = init_state(cfg)
@@ -298,21 +306,25 @@ def restore_checkpoint(ckpt_dir: str, cfg: TrainConfig,
                     f"parameter layout; current checkpoints store q/k/v "
                     f"separately (head-clean tensor parallelism). Re-export "
                     f"the weights or retrain. Original error: {e}") from e
-            if "tree structures do not match" in str(e):
-                # optimizer mismatch (e.g. an AdamW checkpoint opened by an
-                # Adam-configured tool): inference-style consumers only
-                # need the params — restore those and keep a FRESH
-                # optimizer state. Exact resume of training must match the
-                # optimizer; warn so a mismatched resume is noticed.
+            if params_only and "tree structures do not match" in str(e):
+                raw = mngr.restore(step)      # structure-free restore
+                if (jax.tree_util.tree_structure(raw["params"])
+                        != jax.tree_util.tree_structure(template.params)):
+                    # it wasn't (just) the optimizer: the model
+                    # architecture differs — fail loud, never hand back
+                    # wrong-architecture params
+                    raise ValueError(
+                        f"checkpoint at {ckpt_dir} stores a different "
+                        f"PARAMETER structure than the model config — "
+                        f"check tf_layers/with_rnn/size_s. Original "
+                        f"error: {e}") from e
                 import warnings
                 warnings.warn(
                     f"checkpoint at {ckpt_dir} stores a different "
                     f"optimizer-state structure than "
                     f"TrainConfig(optimizer={cfg.optimizer!r}); restoring "
-                    f"params/step/rng only (fresh optimizer state). For an "
-                    f"exact training resume, pass the optimizer used at "
-                    f"save time.", stacklevel=2)
-                raw = mngr.restore(step)      # structure-free restore
+                    f"params/step/rng only (fresh optimizer state).",
+                    stacklevel=2)
                 params = jax.tree_util.tree_map(jnp.asarray, raw["params"])
                 return TrainState(params=params,
                                   opt_state=template.opt_state,
@@ -363,7 +375,8 @@ def train_loop(cfg: TrainConfig, dataset, *, mesh=None, ckpt_dir=None,
             params = M.params_from_torch_state_dict(
                 torch.load(warm_start, map_location="cpu"), cfg.model)
         else:
-            params = restore_checkpoint(warm_start, cfg).params
+            params = restore_checkpoint(warm_start, cfg,
+                                        params_only=True).params
         state = state.replace(params=params)
     if mesh is not None:
         state = shard_state(state, mesh)
