@@ -291,7 +291,7 @@ def _rnn_last_batch_kernel(k_ref, xenc_ref, wih_ref, br_ref, whh_ref,
 @functools.partial(jax.jit, static_argnames=("cfg", "bt", "bt_rnn",
                                              "interpret"))
 def fused_recompute_batch(packed_ws, x_full, k_last, cfg: M.ModelConfig,
-                          bt: int = 8, bt_rnn: int = 128,
+                          bt: int = 16, bt_rnn: int = 128,
                           interpret: bool = False):
     """Exact windowed recompute for B streams in one tick.
 
@@ -351,7 +351,7 @@ def fused_recompute_batch(packed_ws, x_full, k_last, cfg: M.ModelConfig,
 
 
 def auto_fused_last(cfg: M.ModelConfig, interpret: bool,
-                    b_tile: int = 8, b_tile_rnn: int = 128):
+                    b_tile: int = 16, b_tile_rnn: int = 128):
     """custom_vmap'd single-output fused forward: per stream it runs
     fused_forward_last; under the serving pool's vmap (x and k batched,
     weights shared) it dispatches the whole tick to fused_recompute_batch.
