@@ -260,14 +260,18 @@ def forward(params, x_imu, x_s, cfg: ModelConfig, *,
         interp = jax.default_backend() != "tpu"
         for li, layer in enumerate(params["layers"]):
             k_attn = keys[2 + 4 * li]
-            if train and k_attn is not None:
+            # train-without-rng must be deterministic (dropout off), matching
+            # the XLA path's _dropout semantics when keys are None — not
+            # dropout with a fixed all-zero seed
+            layer_train = train and k_attn is not None
+            if layer_train:
                 seed = jax.random.bits(
                     k_attn, dtype=jnp.uint32).astype(jnp.int32)
             else:
                 seed = jnp.int32(0)
             ws = PE.pack_layer_weights(layer, x.dtype)
             x = PE.encoder_layer_train(x, ws, seed, cfg.n_heads,
-                                       cfg.layer_dropout, train,
+                                       cfg.layer_dropout, layer_train,
                                        8, interp)
     else:
         for li, layer in enumerate(params["layers"]):

@@ -103,7 +103,11 @@ def _kernel_last(k_ref, x_ref, *refs, cfg: M.ModelConfig, t_len: int):
         outs = []
         for hh in range(h):
             sl = slice(hh * hd, (hh + 1) * hd)
-            logits = dot(q[:, sl], k[:, sl].T) * scale + mask
+            # q/k cast to the packing dtype so this single-stream dispatch
+            # matches _enc_batch_kernel's logits semantics (differences stay
+            # reduction-order only even at bf16 packing)
+            logits = dot(q[:, sl].astype(cd),
+                         k[:, sl].astype(cd).T) * scale + mask
             w_att = jax.nn.softmax(logits, axis=-1)
             outs.append(dot(w_att.astype(cd), v[:, sl].astype(cd)))
         att = jnp.concatenate(outs, axis=-1)
@@ -184,11 +188,13 @@ def _kernel(x_ref, *refs, cfg: M.ModelConfig, t_len: int):
         qkv = dot(x.astype(cd), w_qkv[:]) + b_qkv[:].astype(jnp.float32)
         q, k, v = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
 
-        # per-head attention, unrolled (16 heads x (T, hd))
+        # per-head attention, unrolled (16 heads x (T, hd)); q/k in the
+        # packing dtype to match _enc_batch_kernel (see _kernel_last)
         outs = []
         for hh in range(h):
             sl = slice(hh * hd, (hh + 1) * hd)
-            logits = dot(q[:, sl], k[:, sl].T) * scale + mask
+            logits = dot(q[:, sl].astype(cd),
+                         k[:, sl].astype(cd).T) * scale + mask
             w_att = jax.nn.softmax(logits, axis=-1)
             outs.append(dot(w_att.astype(cd), v[:, sl].astype(cd)))
         att = jnp.concatenate(outs, axis=-1)                      # (T, d)

@@ -157,19 +157,31 @@ class ServeDaemon:
                 conn.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF,
                                 self.sndbuf)
             client = _Client(conn, slot)
-            with self._lock:
-                self._clients[slot] = client
+            # greeting FIRST, registration after: once the client is in
+            # _clients a concurrent tick may send_line() on the socket, which
+            # would interleave a qdq line with (or ahead of) the hello the
+            # protocol promises as the first line — and briefly block the
+            # tick thread on the still-blocking socket
             try:
                 conn.sendall((json.dumps({"slot": slot}) + "\n").encode())
             except OSError:
                 # client vanished before the greeting: free the slot and
                 # keep accepting (an uncaught raise here would kill the
                 # accept thread and leak the slot forever)
-                self._drop(client)
+                with self._lock:
+                    self.pool.remove_stream(slot)
+                    self._batch[slot] = self._idle
+                client.alive = False
+                try:
+                    conn.close()
+                except OSError:
+                    pass
                 continue
             # non-blocking from here on: tick-thread writes must never stall
             # the 60 Hz loop on a slow reader (send_line drops instead)
             conn.setblocking(False)
+            with self._lock:
+                self._clients[slot] = client
             threading.Thread(target=self._reader, args=(client,),
                              daemon=True).start()
             self.log(f"client {addr} -> slot {slot} "

@@ -318,6 +318,26 @@ def restore_checkpoint(ckpt_dir: str, cfg: TrainConfig,
                         f"PARAMETER structure than the model config — "
                         f"check tf_layers/with_rnn/size_s. Original "
                         f"error: {e}") from e
+                # structure matching is not enough: a checkpoint with BOTH a
+                # different optimizer and different param shapes (e.g. wrong
+                # size_s) would otherwise sail through and fail later with a
+                # confusing downstream shape error
+                shape_mism = []
+
+                def _chk_shape(path, raw_leaf, tmpl_leaf):
+                    if tuple(jnp.shape(raw_leaf)) != tuple(tmpl_leaf.shape):
+                        shape_mism.append(
+                            f"params{jax.tree_util.keystr(path)}: checkpoint "
+                            f"{tuple(jnp.shape(raw_leaf))} vs model "
+                            f"{tuple(tmpl_leaf.shape)}")
+                jax.tree_util.tree_map_with_path(
+                    _chk_shape, raw["params"], template.params)
+                if shape_mism:
+                    raise ValueError(
+                        f"checkpoint at {ckpt_dir} stores parameters whose "
+                        f"SHAPES do not match the model config — check "
+                        f"size_s/tf_in_dim/rnn_nhid flags. Mismatches: "
+                        + "; ".join(shape_mism[:5])) from e
                 import warnings
                 warnings.warn(
                     f"checkpoint at {ckpt_dir} stores a different "
