@@ -28,17 +28,22 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TEST_DURATION_S = 11.0          # fixed-length held-out clips: the streaming
-                                # eval compiles once per (mode, length)
+TEST_DURATION_S = 12.5          # fixed-length held-out clips: the streaming
+                                # eval compiles once per (mode, length).
+                                # >= 12.5 s so root_drift_10s measures a true
+                                # 10 s after the 30/6 crops + latency trim
+                                # (round-3 11 s clips + test_len=600 silently
+                                # clamped the metric at ~9.3 s)
 
 
-def phase_corpus(out, n_train, n_test):
+def phase_corpus(out, n_train, n_test, exclude=()):
     from tip_tpu.data_gen import corpus
     t0 = time.time()
     n = corpus.generate_corpus(os.path.join(out, "corpus_train"), n_train,
-                               seed=100)
+                               seed=100, exclude=exclude)
     n += corpus.generate_corpus(os.path.join(out, "corpus_test"), n_test,
-                                seed=900, duration_s=TEST_DURATION_S)
+                                seed=900, duration_s=TEST_DURATION_S,
+                                exclude=exclude)
     print(f"corpus: {n} new motions ({time.time()-t0:.0f}s)")
 
 
@@ -53,18 +58,19 @@ def phase_pack(out):
     return prefix
 
 
-def make_train_cfg(epochs):
+def make_train_cfg(epochs, dropout_impl="rng"):
     from tip_tpu import constants as cst
     from tip_tpu.models.tip_model import ModelConfig
     from tip_tpu.train import train as train_lib
     model_cfg = ModelConfig(size_s=cst.state_dim(5), with_acc_sum=True,
-                            compute_dtype="bfloat16", rnn_impl="pallas")
+                            compute_dtype="bfloat16", rnn_impl="pallas",
+                            dropout_impl=dropout_impl)
     return train_lib.TrainConfig(
         model=model_cfg, n_sbps=5, epochs=epochs, optimizer="AdamW",
         dropout_rng_impl="rbg")
 
 
-def phase_train(out, prefix, epochs):
+def phase_train(out, prefix, epochs, dropout_impl="rng"):
     """Whole-epoch-scan training driver (one dispatch per epoch)."""
     import jax
     import jax.numpy as jnp
@@ -73,7 +79,7 @@ def phase_train(out, prefix, epochs):
     from tip_tpu.train import train as train_lib
     from tip_tpu.utils.observability import MetricsWriter
 
-    cfg = make_train_cfg(epochs)
+    cfg = make_train_cfg(epochs, dropout_impl)
     ds = data_lib.PackedDataset.load(prefix + "_imu.npy", prefix + "_s.npy",
                                      prefix + "_info.npy", with_acc_sum=True)
     ckpt_dir = os.path.join(out, "ckpt")
@@ -135,7 +141,9 @@ def phase_train(out, prefix, epochs):
     return ckpt_dir
 
 
-def phase_eval(out, epochs):
+def phase_eval(out, epochs, test_dir=None, test_len=690,
+               results_name="results.json", family_filter=None,
+               with_sbp_metrics=True, with_terrain_metrics=True):
     import jax.numpy as jnp  # noqa: F401 (jax init before harness imports)
 
     from tip_tpu import eval_harness as H
@@ -146,12 +154,15 @@ def phase_eval(out, epochs):
     state = train_lib.restore_checkpoint(os.path.join(out, "ckpt"), cfg_t,
                                           params_only=True)
     print(f"eval at step {int(state.step)}")
-    test_dir = os.path.join(out, "corpus_test")
+    test_dir = test_dir or os.path.join(out, "corpus_test")
     files = [os.path.join(test_dir, f) for f in sorted(os.listdir(test_dir))
              if f.endswith(".pkl")]
+    if family_filter:
+        files = [f for f in files
+                 if os.path.basename(f).rsplit("_", 1)[0] in family_filter]
 
     results = {"step": int(state.step), "n_test": len(files), "modes": {}}
-    res_path = os.path.join(out, "results.json")
+    res_path = os.path.join(out, results_name)
     if os.path.exists(res_path):
         with open(res_path) as f:
             cached = json.load(f)
@@ -176,20 +187,27 @@ def phase_eval(out, epochs):
                                            with_acc_sum=True,
                                            serving_mode=mode),
             use_full_runner=full, multi_sbp=full,
-            test_len=600, max_motions_per_cat=len(files),
+            test_len=test_len, max_motions_per_cat=len(files),
             # corpus walks wander well past the reference's +-5 m terrain
             # grid (up to ~13 m over 11 s); cover them so the full-runner
             # metrics aren't distorted by edge-cell clamping
             terrain_map_bound=16.0)
         t0 = time.time()
+        extras = {}
         per_motion, means, maxima = H.evaluate(
-            state.params, ecfg, files, log=lambda *a: None)
+            state.params, ecfg, files, log=lambda *a: None,
+            extras_out=extras if (with_sbp_metrics
+                                  or (full and with_terrain_metrics)) else None)
         results["modes"][name] = {
             "means": means,
             "maxima": {k: {"value": v, "file": os.path.basename(f)}
                        for k, (v, f) in maxima.items()},
             "n_motions": len(per_motion),
             "eval_s": round(time.time() - t0, 1)}
+        if with_sbp_metrics and "sbp" in extras:
+            results["modes"][name]["sbp"] = extras["sbp"]
+        if full and with_terrain_metrics and "terrain" in extras:
+            results["modes"][name]["terrain"] = extras["terrain"]
         print(name, json.dumps(means), flush=True)
         with open(res_path, "w") as f:
             json.dump(results, f, indent=1)
@@ -204,18 +222,40 @@ def main():
     ap.add_argument("--n_test", type=int, default=40)
     ap.add_argument("--phase", default="all",
                     choices=["all", "corpus", "pack", "train", "eval"])
+    ap.add_argument("--dropout_impl", default="rng", choices=["rng", "hash"],
+                    help="hash = counter-based masks, the fastest measured "
+                         "training config (PERF.md)")
+    ap.add_argument("--data_prefix", default=None,
+                    help="use an existing packed-blob prefix (skips the "
+                         "corpus/pack phases for this out dir)")
+    ap.add_argument("--test_dir", default=None,
+                    help="held-out pickle dir (default <out>/corpus_test)")
+    ap.add_argument("--test_len", type=int, default=690,
+                    help=">= 690 frames keeps root_drift_10s unclamped "
+                         "after crops (see TEST_DURATION_S note)")
+    ap.add_argument("--results", default="results.json",
+                    help="results filename inside <out>")
+    ap.add_argument("--exclude", action="append", default=[],
+                    help="corpus family to exclude (repeatable; "
+                         "leave-one-family-out training)")
+    ap.add_argument("--eval_family", action="append", default=[],
+                    help="restrict eval to these families (repeatable)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
-    if args.phase in ("all", "corpus"):
-        phase_corpus(args.out, args.n_train, args.n_test)
-    prefix = os.path.join(args.out, "packed")
-    if args.phase in ("all", "pack"):
+    if args.phase in ("all", "corpus") and args.data_prefix is None:
+        phase_corpus(args.out, args.n_train, args.n_test,
+                     exclude=tuple(args.exclude))
+    prefix = args.data_prefix or os.path.join(args.out, "packed")
+    if args.phase in ("all", "pack") and args.data_prefix is None:
         prefix = phase_pack(args.out)
     if args.phase in ("all", "train"):
-        phase_train(args.out, prefix, args.epochs)
+        phase_train(args.out, prefix, args.epochs,
+                    dropout_impl=args.dropout_impl)
     if args.phase in ("all", "eval"):
-        phase_eval(args.out, args.epochs)
+        phase_eval(args.out, args.epochs, test_dir=args.test_dir,
+                   test_len=args.test_len, results_name=args.results,
+                   family_filter=set(args.eval_family) or None)
 
 
 if __name__ == "__main__":

@@ -125,6 +125,165 @@ def test_generate_corpus_resumable(tmp_path):
         np.testing.assert_array_equal(first[k], again[k])
 
 
+def test_np_fk_chain_matches_kin_fk():
+    """The host-side planning FK (corpus.np_fk_chain) agrees with the
+    product FK (ops.kinematics.fk) on joint frames for arbitrary poses."""
+    import jax.numpy as jnp
+
+    from tip_tpu.ops import kinematics as kin
+    from tip_tpu.ops import rotations as rot
+
+    rng = np.random.default_rng(2)
+    T = 8
+    aa24 = rng.normal(size=(T, 24, 3)) * 0.4
+    root_p = rng.normal(size=(T, 3))
+    root_R = Rotation.from_rotvec(rng.normal(size=(T, 3))).as_matrix()
+
+    p_np, R_np = corpus.np_fk_chain(aa24, root_p, root_R)
+
+    skel = kin.amass_skeleton(dtype=jnp.float64)
+    aa19 = aa24[:, smpl.CHAR_TO_SMPL]
+    joint_q = rot.aa_to_q(jnp.asarray(aa19))
+    root_q = jnp.asarray(Rotation.from_matrix(root_R).as_quat())
+    import jax
+    _, pq_jf = jax.vmap(lambda p, q, j: kin.fk(skel, p, q, j))(
+        jnp.asarray(root_p), root_q, joint_q)
+    pq_jf = np.asarray(pq_jf)
+    np.testing.assert_allclose(p_np, pq_jf[:, 1:, :3], atol=1e-9)
+    R_fk = Rotation.from_quat(pq_jf[:, 1:, 3:].reshape(-1, 4)).as_matrix()
+    np.testing.assert_allclose(R_np.reshape(-1, 3, 3), R_fk, atol=1e-9)
+
+
+def test_arm_ik_exact():
+    """solve_arm pins the wrist-link point exactly (verified through
+    np_fk_chain-based arm_pin_point) for random torsos and targets."""
+    rng = np.random.default_rng(4)
+    T = 48
+    geo_l, geo_r = corpus.arm_geometry()
+    aa24 = np.zeros((T, 24, 3))
+    import tip_tpu.constants as cst
+    J = cst.SMPL_JOINT_IDX
+    aa24[:, J["lowerback"]] = rng.normal(size=3) * 0.2
+    aa24[:, J["chest"]] = rng.normal(size=3) * 0.2
+    root_p = rng.normal(size=(T, 3))
+    root_R = (Rotation.from_rotvec(rng.normal(size=(T, 3)) * 0.3)
+              .as_matrix() @ corpus._R_ZUP.as_matrix())
+    for geo, sgn in ((geo_l, 1.0), (geo_r, -1.0)):
+        p_jf, _ = corpus.np_fk_chain(aa24, root_p, root_R)
+        anchor = p_jf[:, geo.sho]
+        d = rng.uniform(0.5, 0.97, T) * geo.reach
+        dirs = rng.normal(size=(T, 3))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        target = anchor + d[:, None] * dirs
+        sho_aa, elb_aa = corpus.solve_arm(
+            geo, aa24, root_p, root_R, target,
+            pole=np.array([sgn, 0.3, -0.5]))
+        aa = aa24.copy()
+        aa[:, J[geo.side + "shoulder"]] = sho_aa
+        aa[:, J[geo.side + "elbow"]] = elb_aa
+        got = corpus.arm_pin_point(aa, root_p, root_R, geo.side)
+        assert np.abs(got - target).max() < 1e-9
+
+
+def test_sit_pelvis_labels_at_seat_height():
+    """make_sit produces pelvis SBP positives concentrated at seat height.
+
+    The labeler is stationarity-based (reference data_utils.py:27-100), so a
+    quietly standing pelvis may ALSO label positive — that is faithful, not a
+    bug. The assertion is therefore on the seated-height share of all frames,
+    not on exclusivity."""
+    heights_all = []
+    seated_frac = []
+    for seed in (17, 18, 19):
+        rng = np.random.default_rng(seed)
+        m = corpus.make_sit(rng, duration_s=8.0)
+        fk = amass_syn.fk_motion(*smpl.resample_motion(m)[:2], 1.6)
+        pq = np.asarray(fk["pq_sbp"])
+        c = amass_syn.sbp_labels(fk["pq_sbp"]).reshape(-1, 5, 4)
+        on = c[:, 4, 0] > 0
+        h = pq[on, 4, 2] + c[on, 4, 3]
+        heights_all.append(h)
+        seated_frac.append((on & (pq[:, 4, 2] + c[:, 4, 3] < 0.8)).mean())
+    h = np.concatenate(heights_all)
+    assert h.min() > 0.15 and h.max() < 1.15
+    # the seated hold dominates: >= 25% of frames are seat-height positives
+    assert np.mean(seated_frac) > 0.25, seated_frac
+
+
+@pytest.mark.parametrize("family,channel,lo,hi,min_height,max_height", [
+    ("floorsit", 2, 0.25, 1.0, -0.05, 0.30),  # left palm on the floor
+    ("floorsit", 3, 0.25, 1.0, -0.05, 0.30),  # right palm on the floor
+    ("crawl", 2, 0.3, 0.9, -0.05, 0.30),
+    ("crawl", 3, 0.3, 0.9, -0.05, 0.30),
+    ("lean", None, 0.2, 1.0, 0.75, 1.6),      # whichever hand leans, high up
+])
+def test_contact_rich_families_label_positive(family, channel, lo, hi,
+                                              min_height, max_height):
+    """The new families actually produce positive wrist/pelvis SBP labels
+    through the real synthesis pipeline, at the intended contact heights."""
+    rng = np.random.default_rng(17)
+    maker = {"sit": corpus.make_sit, "floorsit": corpus.make_floorsit,
+             "crawl": corpus.make_crawl, "lean": corpus.make_lean}[family]
+    m = maker(rng, duration_s=8.0)
+    aa60, trans60, _ = smpl.resample_motion(m)
+    assert np.isfinite(aa60).all() and np.isfinite(trans60).all()
+    fk = amass_syn.fk_motion(aa60, trans60, 1.6)
+    pq = np.asarray(fk["pq_sbp"])                  # (T, 5, 7)
+    c = amass_syn.sbp_labels(fk["pq_sbp"]).reshape(-1, 5, 4)
+    channels = [channel] if channel is not None else [2, 3]
+    on_any = np.zeros(len(c), bool)
+    best = 0.0
+    for ch in channels:
+        on = c[:, ch, 0] > 0
+        on_any |= on
+        best = max(best, on.mean())
+        if on.any():
+            heights = pq[on, ch, 2] + c[on, ch, 3]
+            assert min_height <= heights.min() and heights.max() <= max_height, \
+                (family, ch, heights.min(), heights.max())
+    frac = on_any.mean() if channel is None else best
+    assert lo <= frac <= hi, (family, frac)
+
+
+@pytest.mark.parametrize("family,feet_lo,feet_hi", [
+    ("sit", 0.85, 1.01),
+    ("floorsit", 0.45, 1.01),
+    ("crawl", 0.45, 1.01),
+    ("lean", 0.85, 1.01),
+])
+def test_contact_rich_families_synthesize(family, feet_lo, feet_hi):
+    rng = np.random.default_rng(23)
+    _, m = corpus.make_motion(rng, family, duration_s=8.0)
+    payload = amass_syn.synthesize(m, height=1.7, rng=rng)
+    for k in ("imu", "nimble_qdq", "constrs"):
+        assert np.isfinite(payload[k]).all(), k
+    c = payload["constrs"].reshape(-1, 5, 4)
+    feet = ((c[:, :2, 0] > 0) & np.isfinite(c[:, :2, 0])).mean()
+    assert feet_lo <= feet <= feet_hi, (family, feet)
+
+
+def test_sit_pelvis_stationary_through_fk():
+    """During the seated hold the pelvis SBP point is world-stationary
+    through the real resample + FK pipeline."""
+    rng = np.random.default_rng(31)
+    m = corpus.make_sit(rng, duration_s=9.0)
+    fk = amass_syn.fk_motion(*smpl.resample_motion(m)[:2], 1.6)
+    pq = np.asarray(fk["pq_sbp"])
+    speed = np.linalg.norm(np.diff(pq[:, 4, :3], axis=0), axis=1) * 60.0
+    # a long stretch of near-zero pelvis speed (the hold)
+    assert (speed < 0.01).mean() > 0.25
+    assert np.percentile(speed, 20) < 1e-3
+
+
+def test_generate_corpus_exclude_families():
+    """exclude drops a family from the draw and rejects unknown names."""
+    rng = np.random.default_rng(0)
+    with pytest.raises(ValueError):
+        corpus.generate_corpus("/tmp/nonexistent_xx", 1, exclude=("nope",))
+    fams = [f for f, _, _ in corpus._FAMILIES]
+    assert {"sit", "floorsit", "crawl", "lean"} <= set(fams)
+
+
 def test_dance_family_contact_statistics():
     """Step-dance fills the gap between gait (long stances) and freeform
     (no contacts): frequent short foot contacts, finite everything."""

@@ -90,6 +90,63 @@ def leg_geometry():
     return leg(_LHIP, _LKNEE, _LANKLE), leg(_RHIP, _RKNEE, _RANKLE)
 
 
+def solve_two_bone(b1, b2, v, pole):
+    """Generic analytic two-bone IK core, vectorized over frames.
+
+    Used for both legs (hip-knee-ankle) and arms (shoulder-elbow-wrist);
+    the reference drives limbs with numeric two-joint IK at runtime
+    (real_time_runner.py:334-382) but has no planner — this is corpus
+    authoring machinery, so closed form exactness is the requirement
+    (tests/test_corpus.py).
+
+    Args:
+      b1: (3,) rest first-bone vector in the base frame.
+      b2: (3,) rest second-bone vector in the mid-joint frame.
+      v:  (T, 3) target end point relative to the chain base joint, in the
+          base frame (clamped into the reachable annulus).
+      pole: (3,) bend direction in the base frame: the mid joint bulges
+          toward the component of ``pole`` orthogonal to the target line.
+    Returns (R1, R2, aa1, aa2): local rotation matrices (T, 3, 3) and their
+    axis-angles (T, 3) for the base and mid joints.
+    """
+    l1 = float(np.linalg.norm(b1))
+    l2 = float(np.linalg.norm(b2))
+    d = np.linalg.norm(v, axis=-1)
+    d = np.clip(d, 0.35 * (l1 + l2), 0.999 * (l1 + l2))
+    d_hat = _unit(v)
+
+    pole = np.asarray(pole, np.float64)
+    p_hat = _unit(pole - np.sum(pole * d_hat, -1, keepdims=True) * d_hat)
+
+    cos_beta = (l1 ** 2 + d ** 2 - l2 ** 2) / (2 * l1 * d)
+    beta = np.arccos(np.clip(cos_beta, -1.0, 1.0))[:, None]
+    u_hat = np.cos(beta) * d_hat + np.sin(beta) * p_hat    # first-bone dir
+    w_hat = _unit(d[:, None] * d_hat - l1 * u_hat)         # second-bone dir
+
+    # base joint: map the rest first-bone frame onto the target frame
+    n_t = _unit(np.cross(p_hat, d_hat))                    # bend normal
+    b1_hat = b1 / l1
+    n_r = _unit(np.cross(np.array([0.0, 0.0, 1.0]), b1_hat))
+    A = _frame(np.broadcast_to(b1_hat, u_hat.shape),
+               np.broadcast_to(n_r, u_hat.shape))
+    B = _frame(u_hat, n_t)
+    R1 = B @ np.swapaxes(A, -1, -2)
+
+    # mid joint: minimal rotation (in the first-bone frame) taking the rest
+    # second bone onto the IK direction
+    w_local = np.einsum("tji,tj->ti", R1, w_hat)
+    b2_hat = b2 / l2
+    axis = np.cross(np.broadcast_to(b2_hat, w_local.shape), w_local)
+    s = np.linalg.norm(axis, axis=-1)
+    c = np.clip(np.sum(b2_hat * w_local, -1), -1.0, 1.0)
+    ang = np.arctan2(s, c)
+    aa2 = np.where(s[:, None] > 1e-9,
+                   axis / np.maximum(s[:, None], 1e-9) * ang[:, None],
+                   0.0)
+    R2 = Rotation.from_rotvec(aa2).as_matrix()
+    return R1, R2, Rotation.from_matrix(R1).as_rotvec(), aa2
+
+
 def solve_leg(geo: LegGeometry, pelvis_p, pelvis_R, ankle_w, foot_R_w):
     """Two-bone analytic leg IK, vectorized over frames.
 
@@ -102,46 +159,143 @@ def solve_leg(geo: LegGeometry, pelvis_p, pelvis_R, ankle_w, foot_R_w):
     """
     # target in pelvis-local (= body) coordinates, relative to the hip
     v = np.einsum("tji,tj->ti", pelvis_R, ankle_w - pelvis_p) - geo.hip_off
-    d = np.linalg.norm(v, axis=-1)
-    d = np.clip(d, 0.35 * (geo.l1 + geo.l2), 0.999 * (geo.l1 + geo.l2))
-    d_hat = _unit(v)
-
     # knee aims forward (+z in body frame) with a touch of outward toe
     fwd = np.array([0.12 * np.sign(geo.hip_off[0]), 0.0, 1.0])
-    p_hat = _unit(fwd - np.sum(fwd * d_hat, -1, keepdims=True) * d_hat)
-
-    cos_beta = (geo.l1 ** 2 + d ** 2 - geo.l2 ** 2) / (2 * geo.l1 * d)
-    beta = np.arccos(np.clip(cos_beta, -1.0, 1.0))[:, None]
-    u_hat = np.cos(beta) * d_hat + np.sin(beta) * p_hat    # thigh direction
-    w_hat = _unit(d[:, None] * d_hat - geo.l1 * u_hat)     # shank direction
-
-    # hip: map the rest thigh frame onto the target thigh frame
-    n_t = _unit(np.cross(p_hat, d_hat))                    # bend normal
-    b1_hat = geo.b1 / geo.l1
-    n_r = _unit(np.cross(np.array([0.0, 0.0, 1.0]), b1_hat))
-    A = _frame(np.broadcast_to(b1_hat, u_hat.shape), np.broadcast_to(n_r, u_hat.shape))
-    B = _frame(u_hat, n_t)
-    R_h = B @ np.swapaxes(A, -1, -2)
-
-    # knee: minimal rotation (in the thigh frame) taking the rest shank
-    # onto the IK shank direction
-    w_local = np.einsum("tji,tj->ti", R_h, w_hat)
-    b2_hat = geo.b2 / geo.l2
-    axis = np.cross(np.broadcast_to(b2_hat, w_local.shape), w_local)
-    s = np.linalg.norm(axis, axis=-1)
-    c = np.clip(np.sum(b2_hat * w_local, -1), -1.0, 1.0)
-    ang = np.arctan2(s, c)
-    knee_aa = np.where(s[:, None] > 1e-9,
-                       axis / np.maximum(s[:, None], 1e-9) * ang[:, None],
-                       0.0)
-    R_k = Rotation.from_rotvec(knee_aa).as_matrix()
+    R_h, R_k, hip_aa, knee_aa = solve_two_bone(geo.b1, geo.b2, v, fwd)
 
     # ankle: local rotation achieving the requested world foot orientation
     R_shank_w = pelvis_R @ R_h @ R_k
     R_a = np.swapaxes(R_shank_w, -1, -2) @ foot_R_w
 
-    return (Rotation.from_matrix(R_h).as_rotvec(), knee_aa,
-            Rotation.from_matrix(R_a).as_rotvec())
+    return hip_aa, knee_aa, Rotation.from_matrix(R_a).as_rotvec()
+
+
+# ---------------------------------------------------------------------------
+# arm IK (planted-hand families: floor-sit, crawl, hand-lean)
+# ---------------------------------------------------------------------------
+
+# char joint indices of the arm chains (chars/amass_skeleton.py order)
+_L_CLAV, _L_SHO, _L_ELB, _L_WRI = 11, 12, 13, 14
+_R_CLAV, _R_SHO, _R_ELB, _R_WRI = 15, 16, 17, 18
+
+
+def np_fk_chain(aa24, pelvis_p, pelvis_R):
+    """Host-side FK of the char skeleton over authored SMPL axis-angles.
+
+    Mirrors ops.kinematics.fk joint-frame semantics (rest frames aligned to
+    the root, offsets rotated by the parent chain) in plain numpy so motion
+    planners can query chain anchors — e.g. the world shoulder position and
+    clavicle-frame orientation the arm IK solves against — for arbitrary
+    torso poses. Parity with kin.fk is asserted in tests/test_corpus.py.
+
+    Args:
+      aa24: (T, 24, 3) SMPL-indexed local axis-angles (authoring format).
+      pelvis_p / pelvis_R: (T, 3) / (T, 3, 3) world root pose.
+    Returns (p_jf (T, 19, 3) world joint positions,
+             R_w (T, 19, 3, 3) world link orientations).
+    """
+    from tip_tpu.chars import amass_skeleton as sk
+    from tip_tpu.data_gen.smpl import CHAR_TO_SMPL
+    aa19 = np.asarray(aa24)[:, CHAR_TO_SMPL]
+    T = len(aa19)
+    p = np.zeros((T, 19, 3))
+    R = np.zeros((T, 19, 3, 3))
+    for j in range(19):
+        par = int(sk.PARENT[j])
+        Rp = pelvis_R if par == -1 else R[:, par]
+        pp = pelvis_p if par == -1 else p[:, par]
+        p[:, j] = pp + np.einsum("tij,j->ti", Rp, sk.JOINT_OFFSET[j])
+        if sk.IS_FIXED[j]:
+            R[:, j] = Rp
+        else:
+            R[:, j] = Rp @ Rotation.from_rotvec(aa19[:, j]).as_matrix()
+    return p, R
+
+
+@dataclass
+class ArmGeometry:
+    side: str                   # "l" | "r"
+    clav: int                   # char joint indices
+    sho: int
+    b1: np.ndarray              # (3,) upper-arm bone (shoulder frame)
+    b2: np.ndarray              # (3,) elbow -> wrist-link pin point
+    l1: float
+    l2: float
+
+    @property
+    def reach(self) -> float:
+        return self.l1 + self.l2
+
+
+def arm_geometry():
+    """Arm bone vectors (scale 1). The chain end is the WRIST LINK pin point
+    (wrist joint + wrist inertial origin — the frame SBP labels and the
+    wrist IMU live in, amass_skeleton.COM_OFFSET), so pinning the IK target
+    pins exactly the point the label grid search watches; the wrist joint is
+    fixed (welded), so b2 composes both offsets in the elbow frame."""
+    from tip_tpu.chars import amass_skeleton as sk
+
+    def arm(side, clav, sho, elb, wri):
+        b1 = sk.JOINT_OFFSET[elb].copy()
+        b2 = sk.JOINT_OFFSET[wri] + sk.COM_OFFSET[wri + 1]
+        return ArmGeometry(side=side, clav=clav, sho=sho, b1=b1, b2=b2,
+                           l1=float(np.linalg.norm(b1)),
+                           l2=float(np.linalg.norm(b2)))
+
+    return (arm("l", _L_CLAV, _L_SHO, _L_ELB, _L_WRI),
+            arm("r", _R_CLAV, _R_SHO, _R_ELB, _R_WRI))
+
+
+def solve_arm(geo: ArmGeometry, aa24, pelvis_p, pelvis_R, target_w, pole):
+    """Two-bone arm IK against the full torso pose.
+
+    The shoulder anchor (world shoulder-joint position + clavicle-chain
+    orientation) comes from np_fk_chain of the authored pose, so torso
+    lean/recline/pitch is accounted for exactly. Writes nothing: returns
+    (shoulder_aa, elbow_aa), each (T, 3), to be stored at the SMPL
+    shoulder/elbow slots.
+
+    pole: (3,) elbow bend direction in the clavicle (≈ body) frame.
+    """
+    p_jf, R_w = np_fk_chain(aa24, pelvis_p, pelvis_R)
+    base_p = p_jf[:, geo.sho]
+    base_R = R_w[:, geo.clav]
+    v = np.einsum("tji,tj->ti", base_R, target_w - base_p)
+    _, _, sho_aa, elb_aa = solve_two_bone(geo.b1, geo.b2, v, pole)
+    return sho_aa, elb_aa
+
+
+def arm_pin_point(aa24, pelvis_p, pelvis_R, side: str):
+    """World trajectory of an arm's wrist-link pin point under the authored
+    pose — the point solve_arm pins (test/verification helper)."""
+    from tip_tpu.chars import amass_skeleton as sk
+    geo = arm_geometry()[0 if side == "l" else 1]
+    wri = _L_WRI if side == "l" else _R_WRI
+    elb = _L_ELB if side == "l" else _R_ELB
+    p_jf, R_w = np_fk_chain(aa24, pelvis_p, pelvis_R)
+    off = sk.JOINT_OFFSET[wri] + sk.COM_OFFSET[wri + 1]
+    return p_jf[:, elb] + np.einsum("tij,j->ti", R_w[:, elb], off)
+
+
+def fit_target_to_reach(anchor_traj, target, reach, frac: float = 0.96):
+    """Shrink a FIXED world target toward the anchor centroid until it stays
+    within ``frac * reach`` of the anchor at every frame (bisection; the
+    max-distance is monotone in the shrink factor). Keeps planted points
+    truly world-stationary — clamping inside the IK would drag them."""
+    target = np.asarray(target, np.float64)
+    center = anchor_traj.mean(axis=0)
+
+    def ok(s):
+        pt = center + (target - center) * s
+        return np.linalg.norm(pt - anchor_traj, axis=1).max() <= frac * reach
+
+    if ok(1.0):
+        return target
+    lo, hi = 0.0, 1.0
+    for _ in range(30):
+        mid = 0.5 * (lo + hi)
+        lo, hi = (mid, hi) if ok(mid) else (lo, mid)
+    return center + (target - center) * lo
 
 
 # ---------------------------------------------------------------------------
@@ -171,6 +325,15 @@ def ground_profile(kind: str, rng) -> Callable[[np.ndarray], np.ndarray]:
 def _smoothstep(x):
     x = np.clip(x, 0.0, 1.0)
     return x * x * (3.0 - 2.0 * x)
+
+
+def _hold_envelope(t, t0, t1, ramp):
+    """0 -> 1 over [t0, t0+ramp], EXACTLY 1 through [t0+ramp, t1-ramp],
+    -> 0 over [t1-ramp, t1]. The exact-1 plateau is what makes planted
+    points truly world-stationary during a hold."""
+    up = _smoothstep((t - t0) / ramp)
+    down = _smoothstep((t1 - t) / ramp)
+    return np.minimum(up, down)
 
 
 def _yaw(psi):
@@ -571,16 +734,398 @@ def make_freeform(rng, duration_s: float = 8.0):
     return smpl.SmplMotion(poses=poses, trans=trans, fps=FPS)
 
 
+# ---------------------------------------------------------------------------
+# contact-rich families (wrist/pelvis SBP positive labels — VERDICT r3 #4:
+# the 5-SBP surface trains all five channels only if the corpus contains
+# sit/support motions like the reference's AMASS data does; reference grids
+# for wrists and pelvis at data_utils.py:60-74)
+# ---------------------------------------------------------------------------
+
+
+def _arm_drop_aa(T, rng):
+    """(T, 24, 3) base upper body: arms lowered to the sides."""
+    aa = np.zeros((T, 24, 3))
+    J = cst.SMPL_JOINT_IDX
+    drop = rng.uniform(1.15, 1.35)
+    aa[:, J["lshoulder"], 2] = -drop
+    aa[:, J["rshoulder"], 2] = drop
+    return aa
+
+
+def make_sit(rng, duration_s: float = 10.0):
+    """Sit-down / stand-up on a box: the pelvis descends onto a seat at a
+    random height and is world-stationary through the hold — the PELVIS SBP
+    channel's positive-label family (grid: data_utils.py:66-68). Feet stay
+    planted (foot SBPs active throughout); torso/arms move while seated."""
+    T = int(duration_s * FPS)
+    t = np.arange(T) / FPS
+    geo_l, _ = leg_geometry()
+    leg_drop = -(geo_l.hip_off[1] + geo_l.b1[1] + geo_l.b2[1])
+
+    h_seat = rng.uniform(0.25, 0.55)
+    yaw0 = rng.uniform(-np.pi, np.pi)
+    fwd = np.array([np.cos(yaw0), np.sin(yaw0)])
+    left = np.array([-np.sin(yaw0), np.cos(yaw0)])
+    seat_xy = rng.uniform(-1.0, 1.0, 2)
+    foot_dist = rng.uniform(0.30, 0.42)
+    stance_w = rng.uniform(0.10, 0.16)
+    feet_center = seat_xy + fwd * foot_dist
+    ankle_l = np.tile(np.r_[feet_center + stance_w * left, ANKLE_REST_H],
+                      (T, 1))
+    ankle_r = np.tile(np.r_[feet_center - stance_w * left, ANKLE_REST_H],
+                      (T, 1))
+
+    stand_z = rng.uniform(0.94, 0.97) * leg_drop + ANKLE_REST_H
+    seat_z = h_seat + rng.uniform(0.06, 0.10)
+    sit_start = rng.uniform(1.0, 1.8)
+    rise_end = duration_s - rng.uniform(1.0, 1.8)
+    ramp = rng.uniform(0.8, 1.2)
+    e = _hold_envelope(t, sit_start, rise_end, ramp)
+
+    # natural weight-shift sway while standing (gated out during the hold so
+    # the seated pelvis stays exactly stationary). Depending on the drawn
+    # amplitude/frequency the standing pelvis velocity straddles V_THRES, so
+    # across the family the pelvis channel sees both quiet-stand positives
+    # (reference-faithful: a still pelvis labels, data_utils.py:27-100) and
+    # sway-suppressed negatives.
+    sway = (rng.uniform(0.015, 0.06)
+            * np.sin(2 * np.pi * rng.uniform(0.2, 0.55) * t
+                     + rng.uniform(0, 2 * np.pi)))
+    pel_xy = (feet_center + (seat_xy - feet_center)[None] * e[:, None]
+              + ((1.0 - e) * sway)[:, None] * fwd
+              + ((1.0 - e) * 0.4 * np.roll(sway, int(0.3 * FPS)))[:, None]
+              * left)
+    pel_z = stand_z + (seat_z - stand_z) * e
+    # reachability cap (same construction as make_walk): both planted
+    # ankles must stay inside leg reach or the IK clamp would drag them
+    reach = 0.99 * (geo_l.l1 + geo_l.l2)
+    hip_drop = -geo_l.hip_off[1]
+    for ank in (ankle_l, ankle_r):
+        horiz2 = np.sum((pel_xy - ank[:, :2]) ** 2, axis=1)
+        cap = ank[:, 2] + hip_drop + np.sqrt(
+            np.maximum(reach ** 2 - horiz2, 0.2 ** 2))
+        pel_z = np.minimum(pel_z, cap)
+    pelvis_p = np.concatenate([pel_xy, pel_z[:, None]], 1)
+    # root orientation constant: while seated the root (and its
+    # ROOT_COM_OFFSET point the pelvis SBP watches) is fully stationary;
+    # all expressive motion rides on spine/arm joints
+    pelvis_R = np.tile(_yaw(np.array([yaw0]))[0] @ _R_ZUP.as_matrix(),
+                      (T, 1, 1))
+    foot_R = pelvis_R
+
+    aa = _arm_drop_aa(T, rng)
+    J = cst.SMPL_JOINT_IDX
+    # lean forward through the transitions (sit-to-stand mechanics), slight
+    # recline + torso micro-sway while seated
+    trans = 4.0 * e * (1.0 - e)
+    aa[:, J["lowerback"], 0] = (0.45 * rng.uniform(0.7, 1.3) * trans
+                                - 0.08 * e
+                                + 0.04 * np.sin(2 * np.pi *
+                                                rng.uniform(0.15, 0.35) * t))
+    aa[:, J["upperback"], 0] = 0.2 * trans
+    aa[:, J["upperneck"]] = np.outer(
+        0.12 * np.sin(2 * np.pi * rng.uniform(0.1, 0.3) * t),
+        _unit(rng.normal(size=3)))
+    # seated arm reaches (gated by e so the hold stays expressive)
+    for side, sgn in (("l", -1.0), ("r", 1.0)):
+        env = _reach_envelope(T, t, rng, rng.integers(1, 3)) * e
+        ax = _unit(rng.normal(size=3))
+        base = aa[:, J[side + "shoulder"]]
+        r = (Rotation.from_rotvec(np.outer(env * rng.uniform(0.5, 1.2), ax))
+             * Rotation.from_rotvec(base))
+        aa[:, J[side + "shoulder"]] = r.as_rotvec()
+        aa[:, J[side + "elbow"], 1] = sgn * rng.uniform(0.1, 0.5) * env
+
+    return _assemble(T, pelvis_p, pelvis_R, ankle_l, ankle_r,
+                     foot_R, foot_R, aa)
+
+
+def make_floorsit(rng, duration_s: float = 10.0):
+    """Floor sit with hand support: reclined pelvis near the ground, legs
+    extended, both palms planted on the floor behind the hips — the WRIST
+    SBP channels' ground-contact family (grid: data_utils.py:60-62).
+    Occasional leg lifts and hand re-plants vary the contact on/off
+    statistics; the pelvis is near-stationary (slow recline rocking only)."""
+    T = int(duration_s * FPS)
+    t = np.arange(T) / FPS
+    yaw0 = rng.uniform(-np.pi, np.pi)
+    fwd = np.array([np.cos(yaw0), np.sin(yaw0)])
+    left = np.array([-np.sin(yaw0), np.cos(yaw0)])
+    c = rng.uniform(-1.0, 1.0, 2)
+
+    z_root = rng.uniform(0.10, 0.14)
+    pelvis_p = np.tile(np.r_[c, z_root], (T, 1))
+    theta0 = rng.uniform(0.32, 0.50)          # recline angle
+    th_amp = rng.uniform(0.02, 0.07)
+    th_f = rng.uniform(0.10, 0.28)
+    theta = theta0 + th_amp * np.sin(2 * np.pi * th_f * t
+                                     + rng.uniform(0, 2 * np.pi))
+    pelvis_R = (_yaw(np.full(T, yaw0))
+                @ Rotation.from_euler("y", -theta[:, None]).as_matrix()
+                @ _R_ZUP.as_matrix())
+
+    # legs extended forward on the floor; one leg does 0-2 lift events
+    fwd_d = rng.uniform(0.52, 0.66)
+    lat = rng.uniform(0.10, 0.17)
+    ankle_l = np.tile(np.r_[c + fwd * fwd_d + left * lat, ANKLE_REST_H],
+                      (T, 1))
+    ankle_r = np.tile(np.r_[c + fwd * fwd_d - left * lat, ANKLE_REST_H],
+                      (T, 1))
+    lift_leg = rng.choice([None, "l", "r"], p=[0.3, 0.35, 0.35])
+    if lift_leg is not None:
+        env = _reach_envelope(T, t, rng, rng.integers(1, 3))
+        ank = ankle_l if lift_leg == "l" else ankle_r
+        ank[:, 2] += 0.14 * env
+        ank[:, :2] += np.outer(0.08 * env, fwd)
+    foot_R = (_yaw(np.full(T, yaw0))
+              @ Rotation.from_euler(
+                  "y", -np.full((T, 1), 0.5 * theta0)).as_matrix()
+              @ _R_ZUP.as_matrix())
+
+    aa = _arm_drop_aa(T, rng)
+    J = cst.SMPL_JOINT_IDX
+    aa[:, J["lowerback"], 0] = 0.5 * (theta - theta0) + rng.uniform(0.0, 0.15)
+    aa[:, J["upperneck"], 0] = -0.2 + 0.08 * np.sin(
+        2 * np.pi * rng.uniform(0.1, 0.3) * t)
+
+    # hands planted behind/outside the hips, pinned via arm IK
+    geo_la, geo_ra = arm_geometry()
+    p_jf, _ = np_fk_chain(aa, pelvis_p, pelvis_R)
+    back_d = rng.uniform(0.12, 0.26)
+    hand_lat = rng.uniform(0.28, 0.40)
+    hand_z = rng.uniform(0.025, 0.05)
+    lift_hand = rng.choice([None, "l", "r"], p=[0.4, 0.3, 0.3])
+    for geo, sgn in ((geo_la, 1.0), (geo_ra, -1.0)):
+        anchor = p_jf[:, geo.sho]
+        target = np.r_[c - fwd * back_d + sgn * left * hand_lat, hand_z]
+        target = fit_target_to_reach(anchor, target, geo.reach)
+        tgt = np.tile(target, (T, 1))
+        if lift_hand == geo.side:
+            # one mid-motion lift: the hand leaves the floor, waves, and
+            # re-plants at the SAME point (two separate contact episodes)
+            ev = _hold_envelope(t, duration_s * 0.35, duration_s * 0.6, 0.5)
+            free = anchor + np.r_[fwd * 0.25, -0.25][None, :]
+            tgt = tgt + (free - tgt) * ev[:, None]
+        pole = np.array([sgn * 1.0, 0.2, -0.4])
+        sho_aa, elb_aa = solve_arm(geo, aa, pelvis_p, pelvis_R, tgt, pole)
+        aa[:, J[geo.side + "shoulder"]] = sho_aa
+        aa[:, J[geo.side + "elbow"]] = elb_aa
+
+    return _assemble(T, pelvis_p, pelvis_R, ankle_l, ankle_r,
+                     foot_R, foot_R, aa)
+
+
+def make_crawl(rng, duration_s: float = 10.0):
+    """Hands-and-knees crawl: torso pitched toward the ground, hands planted
+    under the shoulders and ankles dragging behind the hips in a diagonal
+    gait — alternating WRIST contacts with pelvis translation (the moving
+    analog of the floor-sit holds) plus long foot stances."""
+    T = int(duration_s * FPS)
+    t = np.arange(T) / FPS
+
+    # slow wandering path (same smoothing construction as make_walk)
+    n_seg = max(2, int(duration_s / 3.0))
+    seg_t = np.linspace(0, duration_s, n_seg + 1)
+    seg_speed = rng.uniform(0.08, 0.30, n_seg)
+    seg_turn = rng.choice([0.0, 1.0], n_seg, p=[0.5, 0.5]) * \
+        rng.uniform(-0.35, 0.35, n_seg)
+    idx = np.clip(np.searchsorted(seg_t, t, "right") - 1, 0, n_seg - 1)
+    k = int(0.5 * FPS)
+    kern = np.ones(k) / k
+    speed = np.convolve(np.pad(seg_speed[idx], (k, k), mode="edge"),
+                        kern, "same")[k:-k]
+    turn = np.convolve(np.pad(seg_turn[idx], (k, k), mode="edge"),
+                       kern, "same")[k:-k]
+    psi = np.cumsum(turn) / FPS
+    vel = speed[:, None] * np.stack([np.cos(psi), np.sin(psi)], 1)
+    path = np.cumsum(vel, axis=0) / FPS
+
+    pitch = rng.uniform(1.15, 1.40)
+    z_root = rng.uniform(0.30, 0.35)
+    P = rng.uniform(0.9, 1.2)
+    duty = rng.uniform(0.65, 0.72)
+    fs = 1.0 / P
+    bob = rng.uniform(0.005, 0.015)
+    pel_z = z_root + bob * np.sin(4 * np.pi * fs * t)
+    pelvis_p = np.concatenate([path, pel_z[:, None]], 1)
+    pitch_t = pitch + 0.03 * np.sin(2 * np.pi * fs * t)
+    pelvis_R = (_yaw(psi)
+                @ Rotation.from_euler("y", pitch_t[:, None]).as_matrix()
+                @ _R_ZUP.as_matrix())
+
+    aa = np.zeros((T, 24, 3))                 # arms come from IK below
+    J = cst.SMPL_JOINT_IDX
+    aa[:, J["upperneck"], 0] = -0.35 + 0.05 * np.sin(
+        2 * np.pi * rng.uniform(0.1, 0.3) * t)
+    aa[:, J["lowerneck"], 0] = -0.25
+
+    # anchors (shoulders, hips) from the authored torso pose
+    geo_la, geo_ra = arm_geometry()
+    p_jf, _ = np_fk_chain(aa, pelvis_p, pelvis_R)
+
+    def stride_plan(anchor_xy, phase, z_pt, clearance, jitter):
+        """Contact placements at the anchor's mid-stance ground projection:
+        strike k plants at anchor_xy(t_k + duty*P/2), holds until lift,
+        swings to the next placement. Returns (T, 3) targets + (T,) yaw."""
+        strikes = np.arange(phase, duration_s + 2 * P, P)
+        mid = np.clip(strikes + duty * P / 2.0, 0.0, duration_s - 1e-6)
+        px = np.interp(mid, t, anchor_xy[:, 0]) + rng.normal(0, jitter,
+                                                             len(mid))
+        py = np.interp(mid, t, anchor_xy[:, 1]) + rng.normal(0, jitter,
+                                                             len(mid))
+        ppsi = np.interp(strikes, t, psi)
+        place = np.stack([px, py], 1)
+        tgt = np.zeros((T, 3))
+        fyaw = np.zeros(T)
+        for k_ in range(len(strikes) - 1):
+            t0, t1 = strikes[k_], strikes[k_ + 1]
+            lift = t0 + duty * P
+            m_st = (t >= t0 - 1e-9) & (t < lift)
+            m_sw = (t >= lift) & (t < t1)
+            tgt[m_st, :2] = place[k_]
+            tgt[m_st, 2] = z_pt
+            fyaw[m_st] = ppsi[k_]
+            if m_sw.any():
+                s = (t[m_sw] - lift) / max(t1 - lift, 1e-6)
+                h = _smoothstep(s)[:, None]
+                tgt[m_sw, :2] = (1 - h) * place[k_] + h * place[k_ + 1]
+                tgt[m_sw, 2] = z_pt + clearance * np.sin(np.pi * s)
+                fyaw[m_sw] = (1 - s) * ppsi[k_] + s * ppsi[k_ + 1]
+        m_pre = t < strikes[0]
+        tgt[m_pre, :2] = place[0]
+        tgt[m_pre, 2] = z_pt
+        fyaw[m_pre] = ppsi[0]
+        return tgt, fyaw
+
+    hip_l = p_jf[:, _LHIP, :2]
+    hip_r = p_jf[:, _RHIP, :2]
+    heading = np.stack([np.cos(psi), np.sin(psi)], 1)
+    behind = rng.uniform(0.34, 0.44)
+    ankle_z = 0.07
+    hand_z = rng.uniform(0.035, 0.05)
+    clear_f = rng.uniform(0.03, 0.07)
+    clear_h = rng.uniform(0.03, 0.08)
+    # diagonal pairs: left hand swings with the right ankle
+    ankle_l, yaw_l = stride_plan(hip_l - heading * behind, 0.0,
+                                 ankle_z, clear_f, 0.01)
+    ankle_r, yaw_r = stride_plan(hip_r - heading * behind, P / 2.0,
+                                 ankle_z, clear_f, 0.01)
+    hand_l, _ = stride_plan(p_jf[:, geo_la.sho, :2], P / 2.0,
+                            hand_z, clear_h, 0.015)
+    hand_r, _ = stride_plan(p_jf[:, geo_ra.sho, :2], 0.0,
+                            hand_z, clear_h, 0.015)
+
+    for geo, tgt in ((geo_la, hand_l), (geo_ra, hand_r)):
+        sgn = 1.0 if geo.side == "l" else -1.0
+        pole = np.array([sgn * 0.25, -1.0, -0.1])   # elbows toward the hips
+        sho_aa, elb_aa = solve_arm(geo, aa, pelvis_p, pelvis_R, tgt, pole)
+        aa[:, J[geo.side + "shoulder"]] = sho_aa
+        aa[:, J[geo.side + "elbow"]] = elb_aa
+
+    def foot_R_of(fy):
+        return (_yaw(fy)
+                @ Rotation.from_euler(
+                    "y", np.full((T, 1), 0.8 * pitch)).as_matrix()
+                @ _R_ZUP.as_matrix())
+
+    return _assemble(T, pelvis_p, pelvis_R, ankle_l, ankle_r,
+                     foot_R_of(yaw_l), foot_R_of(yaw_r), aa)
+
+
+def make_lean(rng, duration_s: float = 9.0):
+    """Stand and lean on a wall-height point: one (sometimes both) hand(s)
+    pinned at 0.95-1.4 m while the body sways — ELEVATED wrist contacts
+    (the reference's support-surface case) with feet planted throughout."""
+    T = int(duration_s * FPS)
+    t = np.arange(T) / FPS
+    geo_l, _ = leg_geometry()
+    leg_drop = -(geo_l.hip_off[1] + geo_l.b1[1] + geo_l.b2[1])
+    yaw0 = rng.uniform(-np.pi, np.pi)
+    fwd = np.array([np.cos(yaw0), np.sin(yaw0)])
+    left = np.array([-np.sin(yaw0), np.cos(yaw0)])
+    c = rng.uniform(-1.0, 1.0, 2)
+
+    stance_w = rng.uniform(0.10, 0.16)
+    ankle_l = np.tile(np.r_[c + stance_w * left, ANKLE_REST_H], (T, 1))
+    ankle_r = np.tile(np.r_[c - stance_w * left, ANKLE_REST_H], (T, 1))
+
+    sway_a = rng.uniform(0.03, 0.08)
+    sway_f = rng.uniform(0.15, 0.35)
+    lat_a = rng.uniform(0.01, 0.04)
+    sway = np.sin(2 * np.pi * sway_f * t)
+    pel_xy = (c + sway_a * sway[:, None] * fwd
+              + lat_a * np.sin(2 * np.pi * rng.uniform(0.1, 0.3) * t
+                               + rng.uniform(0, 2 * np.pi))[:, None] * left)
+    pel_z = (rng.uniform(0.93, 0.97) * leg_drop + ANKLE_REST_H
+             - rng.uniform(0.0, 0.03) * (0.5 + 0.5 * sway))
+    pelvis_p = np.concatenate([pel_xy, pel_z[:, None]], 1)
+    lean_pitch = (0.04 + 0.05 * rng.uniform()) * (1.0 + sway)
+    pelvis_R = (_yaw(np.full(T, yaw0))
+                @ Rotation.from_euler("y", lean_pitch[:, None]).as_matrix()
+                @ _R_ZUP.as_matrix())
+    foot_R = np.tile(_yaw(np.array([yaw0]))[0] @ _R_ZUP.as_matrix(),
+                     (T, 1, 1))
+
+    aa = _arm_drop_aa(T, rng)
+    J = cst.SMPL_JOINT_IDX
+    aa[:, J["lowerback"], 0] = 0.06 * sway
+    aa[:, J["upperneck"]] = np.outer(
+        0.1 * np.sin(2 * np.pi * rng.uniform(0.1, 0.3) * t),
+        _unit(rng.normal(size=3)))
+
+    geo_la, geo_ra = arm_geometry()
+    p_jf, _ = np_fk_chain(aa, pelvis_p, pelvis_R)
+    both = rng.uniform() < 0.35
+    lean_side = rng.choice(["l", "r"])
+    t0 = rng.uniform(0.8, 1.5)
+    t1 = duration_s - rng.uniform(0.8, 1.5)
+    wall_d = rng.uniform(0.38, 0.52)
+    wall_z = rng.uniform(0.95, 1.40)
+    for geo, sgn in ((geo_la, 1.0), (geo_ra, -1.0)):
+        anchor = p_jf[:, geo.sho]
+        planted = both or geo.side == lean_side
+        if planted:
+            wp = np.r_[c + fwd * wall_d
+                       + sgn * left * rng.uniform(0.05, 0.2), wall_z]
+            wp = fit_target_to_reach(anchor, wp, geo.reach)
+            e = _hold_envelope(t, t0 + rng.uniform(0.0, 0.4),
+                               t1 - rng.uniform(0.0, 0.4), 0.5)
+            hang = anchor + np.array([0.0, 0.0, -0.90 * geo.reach])
+            tgt = hang + (wp[None] - hang) * e[:, None]
+            pole = np.array([sgn * 0.6, -1.0, 0.1])
+            sho_aa, elb_aa = solve_arm(geo, aa, pelvis_p, pelvis_R, tgt,
+                                       pole)
+            aa[:, J[geo.side + "shoulder"]] = sho_aa
+            aa[:, J[geo.side + "elbow"]] = elb_aa
+        else:
+            env = _reach_envelope(T, t, rng, rng.integers(1, 3))
+            ax = _unit(rng.normal(size=3))
+            base = aa[:, J[geo.side + "shoulder"]]
+            r = (Rotation.from_rotvec(
+                np.outer(env * rng.uniform(0.4, 1.0), ax))
+                * Rotation.from_rotvec(base))
+            aa[:, J[geo.side + "shoulder"]] = r.as_rotvec()
+            aa[:, J[geo.side + "elbow"], 1] = -sgn * 0.4 * env
+
+    return _assemble(T, pelvis_p, pelvis_R, ankle_l, ankle_r,
+                     foot_R, foot_R, aa)
+
+
 # corpus mix: (family, weight, kwargs sampler)
 _FAMILIES = (
-    ("walk_flat", 0.27, lambda rng: dict(terrain="flat")),
-    ("walk_ramp", 0.11, lambda rng: dict(terrain="ramp")),
-    ("walk_stairs", 0.17, lambda rng: dict(terrain="stairs")),
-    ("walk_bumps", 0.08, lambda rng: dict(terrain="bumps")),
-    ("idle", 0.11, lambda rng: dict()),
-    ("squat", 0.09, lambda rng: dict()),
-    ("dance", 0.10, lambda rng: dict()),
-    ("freeform", 0.07, lambda rng: dict()),
+    ("walk_flat", 0.18, lambda rng: dict(terrain="flat")),
+    ("walk_ramp", 0.08, lambda rng: dict(terrain="ramp")),
+    ("walk_stairs", 0.13, lambda rng: dict(terrain="stairs")),
+    ("walk_bumps", 0.06, lambda rng: dict(terrain="bumps")),
+    ("idle", 0.08, lambda rng: dict()),
+    ("squat", 0.07, lambda rng: dict()),
+    ("dance", 0.08, lambda rng: dict()),
+    ("freeform", 0.06, lambda rng: dict()),
+    # contact-rich families: wrist/pelvis SBP positive labels (VERDICT r3)
+    ("sit", 0.09, lambda rng: dict()),
+    ("floorsit", 0.07, lambda rng: dict()),
+    ("crawl", 0.06, lambda rng: dict()),
+    ("lean", 0.04, lambda rng: dict()),
 )
 
 
@@ -610,26 +1155,45 @@ def make_motion(rng, family: Optional[str] = None,
         return family, make_squat(rng, duration_s=dur(6, 10))
     if family == "dance":
         return family, make_dance(rng, duration_s=dur(6, 12))
+    if family == "sit":
+        return family, make_sit(rng, duration_s=dur(8, 12))
+    if family == "floorsit":
+        return family, make_floorsit(rng, duration_s=dur(8, 12))
+    if family == "crawl":
+        return family, make_crawl(rng, duration_s=dur(8, 12))
+    if family == "lean":
+        return family, make_lean(rng, duration_s=dur(8, 10))
     return family, make_freeform(rng, duration_s=dur(5, 10))
 
 
 def generate_corpus(out_dir: str, n_motions: int, seed: int = 0,
                     start: int = 0, duration_s: Optional[float] = None,
-                    log=print) -> int:
+                    log=print, exclude=()) -> int:
     """Write `n_motions` synthesized training pickles into out_dir.
 
     Resumable/idempotent like the reference generator (existing outputs are
     skipped, data-gen-and-viz-bullet-new.py:245-247): motion i derives its
     RNG from (seed, i), so reruns and partial runs produce identical files.
     Returns the number of motions written this call.
+
+    exclude: family names dropped from the mix (weights renormalized) —
+    leave-one-family-out generalization studies. NOTE: a non-empty exclude
+    changes the (seed, i) -> family stream, so excluded and full corpora are
+    different draws, not a filtered subset.
     """
     from tip_tpu.data_gen import amass_syn
+    known = {f[0] for f in _FAMILIES}
+    bad = set(exclude) - known
+    if bad:
+        raise ValueError(f"unknown corpus families {sorted(bad)}; "
+                         f"known: {sorted(known)}")
+    fams = [f for f in _FAMILIES if f[0] not in exclude]
     os.makedirs(out_dir, exist_ok=True)
     wrote = 0
     for i in range(start, start + n_motions):
         rng = np.random.default_rng(np.random.SeedSequence([seed, i]))
-        w = np.array([f[1] for f in _FAMILIES])
-        family = _FAMILIES[int(rng.choice(len(_FAMILIES), p=w / w.sum()))][0]
+        w = np.array([f[1] for f in fams])
+        family = fams[int(rng.choice(len(fams), p=w / w.sum()))][0]
         path = os.path.join(out_dir, f"{family}_{i:04d}.pkl")
         if os.path.exists(path):
             continue

@@ -32,6 +32,43 @@ from tip_tpu.runtime import terrain as terrain_lib
 METRIC_NAMES = ("angle_deg", "sip_deg", "j_pos_cm", "root_drift_2s",
                 "root_drift_5s", "root_drift_10s", "jerk", "root_jerk")
 
+# SBP channel order = chars.amass.SBP_LINKS
+SBP_CHANNEL_NAMES = ("lankle", "rankle", "lwrist", "rwrist", "root")
+
+
+def sbp_flag_counts(gt_c: np.ndarray, pred_c: np.ndarray) -> np.ndarray:
+    """Per-channel confusion counts of the SBP contact flags.
+
+    Both inputs are (T, n_sbps*4) constraint rows [flag, offset xyz] — the
+    ground-truth labels from the data pipeline and the runner's predicted
+    track, time-aligned (latency-trimmed, cropped). Returns (n_sbps, 4)
+    int64 [TP, FP, FN, TN] counts.
+    """
+    gt = gt_c.reshape(len(gt_c), -1, 4)[:, :, 0] > 0.5
+    pr = pred_c.reshape(len(pred_c), -1, 4)[:, :, 0] > 0.5
+    tp = (gt & pr).sum(0)
+    fp = (~gt & pr).sum(0)
+    fn = (gt & ~pr).sum(0)
+    tn = (~gt & ~pr).sum(0)
+    return np.stack([tp, fp, fn, tn], axis=1).astype(np.int64)
+
+
+def summarize_sbp_counts(counts: np.ndarray) -> Dict[str, Dict[str, float]]:
+    """(n_sbps, 4) [TP,FP,FN,TN] -> per-channel precision/recall/F1 plus the
+    ground-truth positive rate (micro-averaged over all eval frames)."""
+    out = {}
+    for i, name in enumerate(SBP_CHANNEL_NAMES[:len(counts)]):
+        tp, fp, fn, tn = (float(v) for v in counts[i])
+        n = tp + fp + fn + tn
+        prec = tp / (tp + fp) if tp + fp > 0 else float("nan")
+        rec = tp / (tp + fn) if tp + fn > 0 else float("nan")
+        f1 = (2 * prec * rec / (prec + rec)
+              if prec + rec > 0 and np.isfinite(prec + rec) else float("nan"))
+        out[name] = {"precision": round(prec, 4), "recall": round(rec, 4),
+                     "f1": round(f1, 4),
+                     "gt_pos_rate": round((tp + fn) / n, 4) if n else 0.0}
+    return out
+
 
 @dataclasses.dataclass
 class EvalConfig:
@@ -52,6 +89,10 @@ class EvalConfig:
     # beyond +-5 m (the fixed-capacity grid clamps out-of-bound SBPs to the
     # edge cell, degrading root-height correction near the boundary).
     terrain_map_bound: float = cst.MAP_BOUND
+    # off-distribution sensor corruption (eval_corruption.py): applied to
+    # each motion's IMU stream after cropping, deterministically from
+    # (seed, motion index). None = clean streams.
+    corruption: Optional["object"] = None
 
 
 def collect_test_files(data_root: str, dirs: Sequence[str],
@@ -82,17 +123,20 @@ def run_motion(params, cfg: EvalConfig, skel: kin.Skeleton,
             base=cfg.runner, multi_sbp=cfg.multi_sbp,
             terrain=terrain_lib.TerrainConfig(
                 map_bound=cfg.terrain_map_bound))
-        s_traj, c_traj, viz, final = full_runner_lib.run_offline_full(
+        s_traj, c_traj, viz, upd, final = full_runner_lib.run_offline_full(
             params, fcfg, skel, jnp.asarray(s_gt[0], jnp.float32),
-            jnp.asarray(imu, jnp.float32))
+            jnp.asarray(imu, jnp.float32), collect_updates=True)
         info["terrain"] = final.terrain
         info["terrain_cfg"] = fcfg.terrain
+        info["viz_raw"] = np.asarray(viz)      # untrimmed (terrain replay)
+        info["upd"] = np.asarray(upd)
     else:
         s_traj, c_traj, viz = runner_lib.run_offline(
             params, cfg.runner, skel, jnp.asarray(s_gt[0], jnp.float32),
             jnp.asarray(imu, jnp.float32))
     trim = cfg.runner.imu_n_smooth + 2
     info["viz_locs"] = runner_lib.trim_latency(viz, trim)
+    info["c_traj"] = runner_lib.trim_latency(c_traj, trim)
     return runner_lib.trim_latency(s_traj, trim), info
 
 
@@ -127,7 +171,7 @@ def compute_metrics(skel: kin.Skeleton, gt_qdq: np.ndarray,
 def evaluate(params, cfg: EvalConfig, test_files: Sequence[str],
              skel: Optional[kin.Skeleton] = None, log=print,
              save_trajs_path: Optional[str] = None,
-             viz_hook=None, metrics_writer=None):
+             viz_hook=None, metrics_writer=None, extras_out=None):
     """Full harness over a list of per-motion pickles. Returns
     (per_motion list of metric dicts, means dict, maxima dict).
 
@@ -138,7 +182,12 @@ def evaluate(params, cfg: EvalConfig, test_files: Sequence[str],
     motion after metrics — the GT-compare viewer path (reference
     viz_2_trajs_and_return_fk_records_with_sbp, :228-260).
     metrics_writer: optional utils.observability.MetricsWriter; receives one
-    per-motion record and a final means/maxima record."""
+    per-motion record and a final means/maxima record.
+    extras_out: optional dict the harness fills with aggregate capability
+    metrics beyond the reference's 8: "sbp" (per-channel contact-flag
+    precision/recall vs the ground-truth labels) and, for full-runner
+    configs, "terrain" (height-map reconstruction quality vs the labeled
+    ground truth — see eval_terrain.py)."""
     random.seed(cfg.seed)
     np.random.seed(cfg.seed)
     skel = skel or kin.amass_skeleton()
@@ -149,6 +198,8 @@ def evaluate(params, cfg: EvalConfig, test_files: Sequence[str],
 
     per_motion, used = [], []
     gt_list, ours_list = [], []
+    sbp_counts = None
+    terrain_accum = []
     for f in files:
         if not os.path.exists(f):
             log(f"ignored {f}")
@@ -156,19 +207,39 @@ def evaluate(params, cfg: EvalConfig, test_files: Sequence[str],
         with open(f, "rb") as fh:
             data = pickle.load(fh)
         X, Y = np.asarray(data["imu"]), np.asarray(data["nimble_qdq"])
+        C = (np.asarray(data["constrs"])
+             if extras_out is not None and "constrs" in data else None)
         if Y.shape[0] < 2.5 / cst.DT:
             continue
         if Y.shape[0] > cfg.test_len:
             start = random.randrange(0, Y.shape[0] - cfg.test_len)
             X = X[start:start + cfg.test_len]
             Y = Y[start:start + cfg.test_len]
+            if C is not None:
+                C = C[start:start + cfg.test_len]
         m_len = min(len(X), len(Y))
         X, Y = X[:m_len], Y[:m_len].copy()
         Y[:, 2] += cfg.root_z_lift
+        if cfg.corruption is not None:
+            from tip_tpu import eval_corruption
+            crng = np.random.default_rng(
+                np.random.SeedSequence([cfg.seed, len(used)]))
+            X = eval_corruption.corrupt_imu(X, cfg.corruption, crng)
 
         pred, info = run_motion(params, cfg, skel, X, Y)
         per_motion.append(compute_metrics(skel, Y, pred, cfg))
         used.append(f)
+        if C is not None and "c_traj" in info:
+            lo, hi = cfg.crop_head, m_len - cfg.crop_tail
+            counts = sbp_flag_counts(C[:m_len][lo:hi],
+                                     np.asarray(info["c_traj"])[lo:hi])
+            sbp_counts = counts if sbp_counts is None else sbp_counts + counts
+        if extras_out is not None and "terrain" in info:
+            from tip_tpu import eval_terrain
+            terrain_accum.append(eval_terrain.motion_terrain_metrics(
+                skel, Y, C[:m_len] if C is not None else None,
+                info["terrain"], info["terrain_cfg"],
+                viz=info["viz_raw"], upd=info["upd"]))
         if save_trajs_path:
             gt_list.append(Y)
             ours_list.append(np.asarray(pred))
@@ -197,4 +268,10 @@ def evaluate(params, cfg: EvalConfig, test_files: Sequence[str],
                              means=means,
                              maxima={k: {"value": v, "file": f}
                                      for k, (v, f) in maxima.items()})
+    if extras_out is not None:
+        if sbp_counts is not None:
+            extras_out["sbp"] = summarize_sbp_counts(sbp_counts)
+        if terrain_accum:
+            from tip_tpu import eval_terrain
+            extras_out["terrain"] = eval_terrain.summarize(terrain_accum)
     return per_motion, means, maxima

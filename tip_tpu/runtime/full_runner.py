@@ -131,7 +131,8 @@ def _ik_history_feedback(cfg: FullRunnerConfig, s_hist, pq_jf, raw_residues,
     idx = jnp.asarray(_IK_WRITE_IDX.reshape(-1))
     old = s_hist[idx].reshape(2, 3, 3)
     vals = jnp.where(apply_ik[:, None, None], aa, old)
-    s_hist = s_hist.at[idx].set(vals.reshape(-1))
+    # cast keeps the scatter dtype-exact when x64 tests promote IK internals
+    s_hist = s_hist.at[idx].set(vals.reshape(-1).astype(s_hist.dtype))
     new_deltas = jnp.where((both & ~overflow)[:, None], delta, 0.0)
     return s_hist, new_deltas
 
@@ -226,6 +227,14 @@ def full_runner_step(params, carry: FullCarry, cur_imu,
     out_qdq = jnp.where(active, s_t, b.s_init)
     out_viz = jnp.where(active, c_locs, jnp.full((n_sbps, 3), 100.0, dtype))
     out_ct = jnp.where(active, c_t, jnp.zeros_like(c_t))
+    # per-slot terrain-update flags (lankle, rankle, root): which
+    # update_height_map calls committed this frame, centered on the
+    # PREVIOUS frame's c_locs. Lets offline tooling reconstruct cell
+    # establishment times without replaying the tick state machine
+    # (eval_terrain.py).
+    out_upd = jnp.zeros((3,), bool)
+    for slot, _, done in tick_arm:
+        out_upd = out_upd.at[slot].set(active & done)
 
     new_base = RunnerCarry(
         t=b.t + 1, raw_imu=raw, k=k_new, imu_win=imu_win,
@@ -246,12 +255,20 @@ def full_runner_step(params, carry: FullCarry, cur_imu,
         ik_deltas=jnp.where(active, ik_deltas, carry.ik_deltas),
         c_locs_prev=jnp.where(active, c_locs, carry.c_locs_prev),
     )
-    return new_carry, {"qdq": out_qdq, "viz_locs": out_viz, "ct": out_ct}
+    return new_carry, {"qdq": out_qdq, "viz_locs": out_viz, "ct": out_ct,
+                       "upd": out_upd}
 
 
 def run_offline_full(params, cfg: FullRunnerConfig, skel: kin.Skeleton,
-                     s_init, imu_seq, s_gt=None, c_gt=None):
-    """lax.scan driver for the full runner (offline eval / GT playback)."""
+                     s_init, imu_seq, s_gt=None, c_gt=None,
+                     collect_updates: bool = False):
+    """lax.scan driver for the full runner (offline eval / GT playback).
+
+    collect_updates=True additionally returns the (T, 3) bool terrain-update
+    flag track (see full_runner_step out["upd"]): row t's flags mean
+    update_height_map committed at frame t with centers taken from the
+    previous frame's c_locs — i.e. viz[t-1] rows (lankle, rankle, root).
+    """
     s_init = jnp.asarray(s_init)
     carry = full_runner_init(cfg, skel, s_init, dtype=s_init.dtype)
 
@@ -260,16 +277,19 @@ def run_offline_full(params, cfg: FullRunnerConfig, skel: kin.Skeleton,
             imu_t, s_t, c_t = xs
             c, out = full_runner_step(params, c, imu_t, cfg, skel,
                                       s_gt=s_t, c_gt=c_t)
-            return c, (out["qdq"], out["ct"], out["viz_locs"])
+            return c, (out["qdq"], out["ct"], out["viz_locs"], out["upd"])
         xs = (imu_seq[:-1], s_gt[:-1], c_gt[:-1])
     else:
         def sstep(c, imu_t):
             c, out = full_runner_step(params, c, imu_t, cfg, skel)
-            return c, (out["qdq"], out["ct"], out["viz_locs"])
+            return c, (out["qdq"], out["ct"], out["viz_locs"], out["upd"])
         xs = imu_seq[:-1]
 
-    final, (s_traj, c_traj, viz) = jax.lax.scan(sstep, carry, xs)
+    final, (s_traj, c_traj, viz, upd) = jax.lax.scan(sstep, carry, xs)
     s_traj = jnp.concatenate([s_init[None].astype(s_traj.dtype), s_traj])
     c_traj = jnp.concatenate([jnp.zeros_like(c_traj[:1]), c_traj])
     viz = jnp.concatenate([jnp.full_like(viz[:1], 100.0), viz])
+    if collect_updates:
+        upd = jnp.concatenate([jnp.zeros_like(upd[:1]), upd])
+        return s_traj, c_traj, viz, upd, final
     return s_traj, c_traj, viz, final
