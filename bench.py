@@ -127,27 +127,35 @@ def main():
     # compile + warmup
     jax.block_until_ready(run(params, stream))
 
+    # Tail methodology: each rep streams DIFFERENT 600-frame content (16
+    # disjoint random streams), so the sample distribution reflects
+    # content-dependent device-time variation, not just dispatch jitter on
+    # one cached input. Per-frame variance *inside* a scan is not separable
+    # host-side (the scan is one dispatch by design — amortising the ~30 ms
+    # tunnel RTT); the honest tail statistic is therefore the p95 over
+    # scan-normalized reps with n stated, not a fabricated per-frame p99.
     from tip_tpu.utils.observability import profile_trace
-    reps = 5
+    reps = 16
+    streams = [jnp.asarray(make_stream(N, seed=s)) for s in range(reps)]
     times = []
     with profile_trace(args.profile):
-        for _ in range(reps):
+        for s in streams:
             t0 = time.perf_counter()
-            jax.block_until_ready(run(params, stream))
+            jax.block_until_ready(run(params, s))
             times.append(time.perf_counter() - t0)
 
-    # The north-star metric is p50 (BASELINE.json); p99 over the rep
-    # distribution is reported alongside for tail visibility.
     per_frame = np.asarray(sorted(times)) / N * 1e3
     per_frame_ms = float(np.percentile(per_frame, 50))
-    p99_ms = float(np.percentile(per_frame, 99))
     baseline_ms = 1000.0 / 60.0                  # reference real-time budget
     print(json.dumps({
         "metric": metric,
         "value": round(per_frame_ms, 4),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / per_frame_ms, 2),
-        "p99_ms": round(p99_ms, 4),
+        "p95_ms": round(float(np.percentile(per_frame, 95)), 4),
+        "spread_pct": round(100.0 * (per_frame.max() - per_frame.min())
+                            / per_frame_ms, 1),
+        "n_reps": reps,
     }))
 
 

@@ -42,6 +42,16 @@ def main():
     ap.add_argument("--capacity", type=int, default=64)
     ap.add_argument("--serving_mode", default="kv_cache_rnn_carry")
     ap.add_argument("--forward_impl", default="fused")
+    ap.add_argument("--block_each_tick", action="store_true",
+                    help="block on every tick's outputs and record a "
+                         "client-visible per-tick latency histogram "
+                         "(p50/p99). NOTE: on this rig each blocked tick "
+                         "pays the ~30 ms host<->TPU tunnel RTT, which "
+                         "dominates the device-side step (see "
+                         "bench_throughput.py for the amortized device "
+                         "time); the histogram's value here is the CHURN "
+                         "tail — whether add/remove/rebuild events stall "
+                         "ticks — not the absolute level.")
     args = ap.parse_args()
 
     import jax
@@ -87,6 +97,9 @@ def main():
 
     iso_dev = jnp.zeros((), jnp.float32)
 
+    from tip_tpu.utils.observability import LatencyHistogram
+    hist = LatencyHistogram(capacity=args.ticks)
+
     ok = True
     drops = adds = 0
     injected_recovered = False
@@ -129,7 +142,13 @@ def main():
                 injected_recovered = True
             pool._step = orig
 
-        out = pool.step(batch)
+        if args.block_each_tick:
+            t_tick = time.perf_counter()
+            out = pool.step(batch)
+            jax.block_until_ready(out["qdq"])
+            hist.record(time.perf_counter() - t_tick)
+        else:
+            out = pool.step(batch)
 
         # isolation oracle phase (first half, up to the injection which
         # restarts the churn pool's sessions): the sentinel must track a
@@ -183,6 +202,10 @@ def main():
         "rss_growth_mb_single_pool_phase": (
             round(rss_now_mb() - rss_single_phase, 1)
             if rss_single_phase is not None else None),
+        # client-visible per-tick latency under churn (RTT-inclusive on
+        # this rig; see --block_each_tick help)
+        "tick_latency": ({k: round(v, 3) for k, v in hist.summary().items()}
+                         if args.block_each_tick else None),
     }))
     assert ok
 

@@ -240,7 +240,19 @@ def main():
                          "leave-one-family-out training)")
     ap.add_argument("--eval_family", action="append", default=[],
                     help="restrict eval to these families (repeatable)")
+    ap.add_argument("--platform", default=None, choices=["cpu", "axon"],
+                    help="force the jax backend. NOTE the env var is not "
+                         "enough on this rig: the axon sitecustomize "
+                         "overwrites jax_platforms in every process, so "
+                         "cpu must be forced via jax.config after import "
+                         "(CLAUDE.md). cpu is right for the corpus phase "
+                         "(host-side synthesis; the tunneled TPU pays "
+                         "~30 ms RTT per dispatch and a slow compile per "
+                         "clip length), axon (default) for train/eval.")
     args = ap.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     os.makedirs(args.out, exist_ok=True)
 
     if args.phase in ("all", "corpus") and args.data_prefix is None:
