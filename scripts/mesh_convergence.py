@@ -64,10 +64,16 @@ def main():
 
     # rnn_impl="scan" on BOTH sides: under a mesh _mesh_safe would switch
     # pallas->scan anyway; the comparison must not also compare RNN impls
+    # batch 64 (divisible by the 4-way data axis): the mini-dataset holds
+    # only a few hundred windows per epoch and the default 256 would be
+    # dropped whole by drop_remainder
     cfg = train_lib.TrainConfig(
         model=ModelConfig(size_s=cst.state_dim(5), with_acc_sum=True,
                           rnn_impl="scan"),
-        n_sbps=5, epochs=args.epochs, optimizer="AdamW")
+        n_sbps=5, batch_size=64, epochs=args.epochs, optimizer="AdamW")
+    n_win = sum(max(1, round(((e - 1) - (s + cfg.seq_len)) / r))
+                for s, e, r in info.astype(np.int64))
+    assert n_win >= cfg.batch_size, (n_win, cfg.batch_size)
 
     def run(mesh):
         losses = []

@@ -49,6 +49,12 @@ def main():
                     help="replay each motion in the PyBullet viewer: ours vs "
                          "GT + SBP markers + terrain (needs the pybullet "
                          "wheel; reference --compare_gt viz)")
+    ap.add_argument("--extras", action="store_true",
+                    help="also report capability metrics beyond the "
+                         "reference's 8: per-channel SBP contact-flag "
+                         "precision/recall vs the pickles' labels and (with "
+                         "--full_runner) terrain-reconstruction quality "
+                         "(eval_terrain.py)")
     ap.add_argument("--serving_mode", default="recompute",
                     choices=["recompute", "kv_cache", "kv_cache_rnn_carry"],
                     help="run the metric protocol under a KV-cached serving "
@@ -123,14 +129,20 @@ def main():
         from tip_tpu.utils.observability import MetricsWriter
         mw = MetricsWriter(args.metrics)
 
+    extras = {} if args.extras else None
     per_motion, means, maxima = H.evaluate(params, cfg, files,
                                            save_trajs_path=args.save_trajs,
                                            viz_hook=viz_hook,
-                                           metrics_writer=mw)
+                                           metrics_writer=mw,
+                                           extras_out=extras)
     if mw is not None:
+        if extras:
+            mw.write(kind="extras", **extras)
         mw.close()
 
     print(json.dumps({"means": means}, indent=2))
+    if extras:
+        print(json.dumps({"extras": extras}, indent=2))
     for k, (v, f) in maxima.items():
         print(f"max {k}: {v:.4f}  ({f})")
 
