@@ -22,7 +22,9 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))   # repo root (tip_tpu)
+sys.path.insert(0, _HERE)                    # scripts (train_convergence)
 
 
 def main():
