@@ -194,14 +194,41 @@ def phase_eval(out, epochs, test_dir=None, test_len=690,
             terrain_map_bound=16.0)
         t0 = time.time()
         extras = {}
+
+        class _FamilyCollector:
+            """Receives the harness's per-motion records; groups metric
+            means by corpus family (filename prefix) for the quality-tail
+            breakdown in RESULTS.md."""
+            def __init__(self):
+                self.rows = {}
+
+            def write(self, kind=None, file=None, **metrics):
+                if kind == "motion" and file:
+                    fam = os.path.basename(file).rsplit("_", 1)[0]
+                    self.rows.setdefault(fam, []).append(metrics)
+
+            def by_family(self):
+                out = {}
+                for fam, rows in sorted(self.rows.items()):
+                    keys = [k for k, v in rows[0].items()
+                            if isinstance(v, (int, float))]
+                    out[fam] = {"n": len(rows),
+                                **{k: round(float(np.mean(
+                                    [r[k] for r in rows])), 4)
+                                   for k in keys}}
+                return out
+
+        fc = _FamilyCollector()
         per_motion, means, maxima = H.evaluate(
             state.params, ecfg, files, log=lambda *a: None,
+            metrics_writer=fc,
             extras_out=extras if (with_sbp_metrics
                                   or (full and with_terrain_metrics)) else None)
         results["modes"][name] = {
             "means": means,
             "maxima": {k: {"value": v, "file": os.path.basename(f)}
                        for k, (v, f) in maxima.items()},
+            "by_family": fc.by_family(),
             "n_motions": len(per_motion),
             "eval_s": round(time.time() - t0, 1)}
         if with_sbp_metrics and "sbp" in extras:
