@@ -52,6 +52,10 @@ def main():
                     help="fused = whole-model/whole-cached-step Pallas "
                          "kernel (default: fused for kv modes, xla+pallas-"
                          "rnn for recompute)")
+    ap.add_argument("--tail_impl", default="xla", choices=["xla", "fused"],
+                    help="fused = FK + SBP correction + history re-encode "
+                         "as one Pallas op (ops/fused_tail.py) instead of "
+                         "the pallas-FK + XLA chain")
     args = ap.parse_args()
 
     import jax
@@ -73,7 +77,7 @@ def main():
         fwd = args.forward_impl or "fused"
         mcfg = M.ModelConfig(forward_impl=fwd)
     base_cfg = R.RunnerConfig(model=mcfg, serving_mode=args.serving_mode,
-                              fk_impl="pallas")
+                              fk_impl="pallas", tail_impl=args.tail_impl)
     params = M.init_params(jax.random.PRNGKey(0), base_cfg.model)
     skel = kin.amass_skeleton()
 

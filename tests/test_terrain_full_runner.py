@@ -276,6 +276,6 @@ def test_batched_ik_feedback_matches_sequential_transcription():
                          * (3.0 if trial % 7 == 0 else 0.1))  # overflow path
         sa, da = one_side(s, pq, rr, dl, 0, 1 / 60)
         sa, da = one_side(sa, pq, rr, da, 1, 1 / 60)
-        sb, db = FR._ik_history_feedback(None, s, pq, rr, dl, 1 / 60)
+        sb, db, _ = FR._ik_history_feedback(None, s, pq, rr, dl, 1 / 60)
         np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), atol=1e-12)
         np.testing.assert_allclose(np.asarray(da), np.asarray(db), atol=1e-12)

@@ -29,7 +29,6 @@ from tip_tpu.chars.amass import IK_CHAIN_BULLET, IK_CHAIN_NIMBLE
 from tip_tpu.ops import ik as ik_ops
 from tip_tpu.ops import kinematics as kin
 from tip_tpu.ops import rotations as rot
-from tip_tpu.ops import sbp as sbp_ops
 from tip_tpu.runtime import terrain as terrain_lib
 from tip_tpu.runtime.runner import (RunnerCarry, RunnerConfig, push_history,
                                     runner_init, sense_and_predict,
@@ -134,7 +133,7 @@ def _ik_history_feedback(cfg: FullRunnerConfig, s_hist, pq_jf, raw_residues,
     # cast keeps the scatter dtype-exact when x64 tests promote IK internals
     s_hist = s_hist.at[idx].set(vals.reshape(-1).astype(s_hist.dtype))
     new_deltas = jnp.where((both & ~overflow)[:, None], delta, 0.0)
-    return s_hist, new_deltas
+    return s_hist, new_deltas, vals
 
 
 def full_runner_step(params, carry: FullCarry, cur_imu,
@@ -159,14 +158,12 @@ def full_runner_step(params, carry: FullCarry, cur_imu,
         s_t, c_t = s_pred, c_pred
 
     # ---- FK + SBP residues (ref :451-460) -------------------------------------
-    from tip_tpu.runtime.runner import _fk
-    pq_g, pq_g_jf = _fk(bcfg, skel, s_t)
-    corr = sbp_ops.root_correction_from_constrs(
-        b.prev_pq, pq_g, c_t, n_sbps=n_sbps, use_n_sbps=min(5, n_sbps),
-        dt=bcfg.dt)
+    from tip_tpu.runtime.runner import _tail
+    (pq_g, pq_g_jf, vres_raw, c_locs_raw, _, raw_residues,
+     hist_sixd) = _tail(bcfg, skel, s_t, c_t, b.prev_pq)
     # terrain, not SBP z, corrects root height (ref :462)
-    vel_res = corr.vel_res.at[2].set(0.0)
-    c_locs = corr.c_locs - vel_res[None, :] * bcfg.dt
+    vel_res = vres_raw.at[2].set(0.0)
+    c_locs = c_locs_raw - vel_res[None, :] * bcfg.dt
 
     # ---- establishing ticks + terrain updates (ref :465-480) ------------------
     ticks = _update_ticks(carry.ticks, c_locs, carry.c_locs_prev)
@@ -210,9 +207,10 @@ def full_runner_step(params, carry: FullCarry, cur_imu,
     # ---- IK feedback into history (ref :483-495) -------------------------------
     s_hist = s_t
     ik_deltas = carry.ik_deltas
+    ik_vals = None
     if cfg.multi_sbp:
-        s_hist, ik_deltas = _ik_history_feedback(
-            cfg, s_hist, pq_g_jf, corr.raw_residues, ik_deltas, bcfg.dt)
+        s_hist, ik_deltas, ik_vals = _ik_history_feedback(
+            cfg, s_hist, pq_g_jf, raw_residues, ik_deltas, bcfg.dt)
 
     # ---- apply root correction (ref :489-494; playback skips it) ---------------
     if not cfg.playback_gt:
@@ -221,7 +219,20 @@ def full_runner_step(params, carry: FullCarry, cur_imu,
         pq_g = pq_g.at[:, :3].add(-vel_res[None, :] * bcfg.dt)
 
     # ---- history push + carry ---------------------------------------------------
-    hist = state_to_history(s_hist, c_t, n_sbps)
+    if hist_sixd is not None:
+        # fused tail: the kernel encoded s_t's rows; only the 6 leg-joint
+        # rows the IK feedback may have rewritten need re-encoding (the
+        # root correction never touches channels the encode reads)
+        if ik_vals is not None:
+            rows = jnp.asarray(_IK_LEG_JOINTS.reshape(-1))
+            hist_sixd = hist_sixd.at[rows].set(
+                rot.aa_to_sixd(ik_vals.reshape(6, 3)).astype(
+                    hist_sixd.dtype))
+        from tip_tpu import constants as cst
+        hist = jnp.concatenate([hist_sixd.reshape(108),
+                                s_hist[cst.N_DOFS:cst.N_DOFS + 3], c_t])
+    else:
+        hist = state_to_history(s_hist, c_t, n_sbps)
     s_and_c_win = push_history(bcfg, b.s_and_c_win, k_new, hist, active)
 
     out_qdq = jnp.where(active, s_t, b.s_init)

@@ -60,6 +60,11 @@ class RunnerConfig:
     # pose->frames pipeline as one kernel (kinematics.fk_bullet_fused) —
     # single-stream fast path, ~35 us -> ~5 us
     fk_impl: str = "xla"
+    # "fused": stages 6-7 (FK + SBP root correction + history 6D re-encode)
+    # as ONE Pallas op (ops/fused_tail.py) — subsumes fk_impl="pallas" and
+    # additionally fuses the SBP/history chains; single-stream latency
+    # opt-in, 5-SBP layout only. "xla" keeps the reference-shaped op graph.
+    tail_impl: str = "xla"
     # "recompute": windowed forward every frame (reference semantics);
     # "kv_cache": per-layer K/V rings, only the newest token runs through
     # the encoder (exact while the window grows; documented divergence once
@@ -72,6 +77,8 @@ class RunnerConfig:
         # when the two lengths coincide (reference constants: both 40)
         assert self.window == cst.ACC_SUM_WIN_LEN or not self.with_acc_sum, (
             "acc-sum feature requires window == ACC_SUM_WIN_LEN")
+        assert self.tail_impl == "xla" or self.n_sbps == 5, (
+            "tail_impl='fused' supports the 5-SBP layout only")
 
     @property
     def smooth_win(self) -> int:
@@ -398,6 +405,31 @@ def _fk(cfg: RunnerConfig, skel: kin.Skeleton, s_t):
     return kin.fk_our_state(skel, s_t, return_joint_frame=True)
 
 
+def _tail(cfg: RunnerConfig, skel: kin.Skeleton, s_t, c_t, prev_pq):
+    """Stage-6 FK + SBP root-correction inputs via the configured tail path.
+
+    Returns (pq_com, pq_jf, vel_res, c_locs_raw, active, raw_residues,
+    hist_sixd-or-None): vel_res is the clipped mean feet residue BEFORE the
+    runner-specific z fix; c_locs_raw the world SBP positions before the
+    -vel_res*dt shift; hist_sixd the (18, 6) two-axis history encode when
+    the fused kernel produced it (ops/fused_tail.py), else None (the XLA
+    path encodes it in state_to_history after the root correction — the
+    correction only touches s_t[:3], which the encode never reads, so both
+    orders are equivalent)."""
+    if cfg.tail_impl == "fused":
+        from tip_tpu.ops import fused_tail as FT
+        to = FT.tail_fused(skel, s_t, c_t, prev_pq, dt=cfg.dt,
+                           interpret=jax.default_backend() != "tpu")
+        return (to.pq_com, to.pq_jf, to.vel_res, to.c_locs,
+                to.active > 0.5, to.raw_res, to.hist_sixd)
+    pq_g, pq_jf = _fk(cfg, skel, s_t)
+    corr = sbp_ops.root_correction_from_constrs(
+        prev_pq, pq_g, c_t, n_sbps=cfg.n_sbps,
+        use_n_sbps=min(5, cfg.n_sbps), dt=cfg.dt)
+    return (pq_g, pq_jf, corr.vel_res, corr.c_locs, corr.active,
+            corr.raw_residues, None)
+
+
 def pack_fused_weights(params, cfg: RunnerConfig, dtype=jnp.float32):
     """Pre-pack the fused-kernel weights with the dtype the runner's fused
     path would use (cache ring dtype for kv modes, compute_dtype/bf16 for
@@ -427,22 +459,23 @@ def runner_step(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
                                           tick=tick, packed_ws=packed_ws)
 
     # ---- 6. FK + SBP root correction (ref :169-194) ---------------------------
-    pq_g, pq_g_jf = _fk(cfg, skel, s_t)
-    corr = sbp_ops.root_correction_from_constrs(
-        carry.prev_pq, pq_g, c_t, n_sbps=n_sbps, use_n_sbps=min(5, n_sbps),
-        dt=cfg.dt)
-    vel_res = corr.vel_res
+    (pq_g, pq_g_jf, vel_res, c_locs_raw, sbp_active, _,
+     hist_sixd) = _tail(cfg, skel, s_t, c_t, carry.prev_pq)
     # flat-ground assumption: z correction pulls active feet SBPs to z=0
-    z = (jnp.where(corr.active[0], corr.c_locs[0, 2], 0.0)
-         + jnp.where(corr.active[1], corr.c_locs[1, 2], 0.0))
+    z = (jnp.where(sbp_active[0], c_locs_raw[0, 2], 0.0)
+         + jnp.where(sbp_active[1], c_locs_raw[1, 2], 0.0))
     vel_res = vel_res.at[2].set(z)
 
-    c_locs = corr.c_locs - vel_res[None, :] * cfg.dt
+    c_locs = c_locs_raw - vel_res[None, :] * cfg.dt
     s_t = s_t.at[:3].add(-vel_res * cfg.dt)
     pq_g = pq_g.at[:, :3].add(-vel_res[None, :] * cfg.dt)
 
     # ---- 7. history push (ref :196) -------------------------------------------
-    hist = state_to_history(s_t, c_t, n_sbps)
+    if hist_sixd is not None:
+        hist = jnp.concatenate([hist_sixd.reshape(108),
+                                s_t[cst.N_DOFS:cst.N_DOFS + 3], c_t])
+    else:
+        hist = state_to_history(s_t, c_t, n_sbps)
     s_and_c_win = push_history(cfg, carry.s_and_c_win, k_new, hist, active)
 
     # ---- outputs / carry (warmup: return s_init, freeze state) ----------------
