@@ -64,6 +64,40 @@ def test_tail_kernel_matches_xla_ops():
             np.asarray(out.active) > 0.5, np.asarray(corr.active))
 
 
+def test_decode_kernel_matches_xla_ops():
+    """decode_fused (output filter + SBP decode + 6D->quat + root
+    matrix->quat in one op) equals the runner's stage-4/5 XLA formulas,
+    including the pre-filter frames and zero-flag SBPs."""
+    rng = np.random.default_rng(11)
+    D, nf, n_sbps = 131, 6, 5
+    for use_filter in (False, True):
+        y_t = rng.normal(size=D).astype(np.float32)
+        filt = rng.normal(size=(nf, D)).astype(np.float32)
+        coeff = (0.6 ** np.arange(nf)[::-1]).astype(np.float32)
+        m9 = rot.aa_to_matrix(jnp.asarray(
+            rng.normal(size=3).astype(np.float32))).reshape(9)
+
+        out = FT.decode_fused(jnp.asarray(y_t), jnp.asarray(filt),
+                              jnp.asarray(coeff), use_filter, m9,
+                              filter_len=nf, n_sbps=n_sbps, interpret=True)
+
+        y_ref = (filt * coeff[:, None]).sum(0) / coeff.sum() \
+            if use_filter else y_t
+        np.testing.assert_allclose(np.asarray(out.y_f), y_ref, atol=2e-6)
+
+        ct = y_ref[-n_sbps * 4:]
+        ct_ref = np.concatenate(
+            [(ct[0::4] > 0.0).astype(np.float32)[:, None],
+             ct.reshape(n_sbps, 4)[:, 1:] / 5.0], axis=1)
+        np.testing.assert_allclose(np.asarray(out.c_t), ct_ref, atol=2e-6)
+
+        q_ref = np.concatenate([
+            np.asarray(rot.matrix_to_q(m9.reshape(3, 3)))[None],
+            np.asarray(rot.matrix_to_q(rot.sixd_to_matrix(
+                jnp.asarray(y_ref[:108].reshape(18, 6)))))[1:]])
+        np.testing.assert_allclose(np.asarray(out.q_rows), q_ref, atol=2e-6)
+
+
 def _tiny_model():
     from tip_tpu.models import tip_model as M
     cfg_m = M.ModelConfig(tf_in_dim=32, tf_hid_size=64, n_heads=4,

@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--metrics", default=None,
                     help="jsonl metrics output (latency percentiles every "
                          "second + final summary)")
+    ap.add_argument("--tail_impl", default="xla", choices=["xla", "fused"],
+                    help="fused = Pallas decode+tail kernels "
+                         "(ops/fused_tail.py; 5-SBP layouts only)")
     ap.add_argument("--viz", action="store_true",
                     help="PyBullet viewer: predicted character + SBP markers "
                          "+ terrain heightfield re-meshed every 15 frames "
@@ -72,7 +75,8 @@ def main():
 
     cfg = FR.FullRunnerConfig(
         base=runner_lib.RunnerConfig(model=model_cfg, n_sbps=n_sbps,
-                                     with_acc_sum=args.with_acc_sum),
+                                     with_acc_sum=args.with_acc_sum,
+                                     tail_impl=args.tail_impl),
         terrain=terrain_lib.TerrainConfig(),
         multi_sbp=args.multi_sbp_correction)
     skel = kin.amass_skeleton()

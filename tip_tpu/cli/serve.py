@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--forward_impl", default="xla", choices=["xla", "fused"],
                     help="fused = the batched Pallas cached-step kernel "
                          "(kv modes; 1.35M frames/s/chip measured, PERF.md)")
+    ap.add_argument("--tail_impl", default="xla", choices=["xla", "fused"],
+                    help="fused = Pallas decode+tail kernels "
+                         "(ops/fused_tail.py; 5-SBP layouts only)")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 compute (the serving throughput sweet "
                          "spot, PERF.md)")
@@ -60,7 +63,8 @@ def main():
 
     cfg = runner_lib.RunnerConfig(model=model_cfg, n_sbps=n_sbps,
                                   with_acc_sum=args.with_acc_sum,
-                                  serving_mode=args.serving_mode)
+                                  serving_mode=args.serving_mode,
+                                  tail_impl=args.tail_impl)
     pool = StreamPool(params, cfg, capacity=args.capacity, chunk=args.chunk)
     daemon = ServeDaemon(pool, cal_lib.t_pose_init_state(),
                          host=args.host, port=args.port)

@@ -43,6 +43,18 @@ _ACTIVE = tuple(int(a) for a in AMASS_CHAR.non_root_active_idx)     # (17,)
 _NIMBLE_TO_JOINT = {_B2N[i]: _ACTIVE[i] for i in range(17)}
 
 _EYE6 = np.eye(6, dtype=np.float32)
+_EYE3 = np.eye(3, dtype=np.float32)
+_E_F4 = np.zeros((1, 4), np.float32)       # SBP flag -> lane 0 of a (1,4) row
+_E_F4[0, 0] = 1.0
+_E_OFF4 = np.zeros((3, 4), np.float32)     # SBP offsets -> lanes 1..3
+_E_OFF4[[0, 1, 2], [1, 2, 3]] = 1.0
+
+
+class DecodeOut(NamedTuple):
+    y_f: jnp.ndarray        # (131,) filtered model output
+    c_t: jnp.ndarray        # (5, 4) decoded SBP rows [flag, offsets/5]
+    q_rows: jnp.ndarray     # (18, 4) quats: row 0 = root (from IMU ori),
+    #                         rows 1..17 = model joints 1..17 (6D-decoded)
 
 
 class TailOut(NamedTuple):
@@ -87,6 +99,146 @@ def _k_sixd_row(q, e6):
     r21 = 2.0 * (y * z + w * x)
     return (r00 * e6[0:1] + r01 * e6[1:2] + r10 * e6[2:3]
             + r11 * e6[3:4] + r20 * e6[4:5] + r21 * e6[5:6])
+
+
+def _k_vec3(s0, s1, s2, e3):
+    """Assemble a (1, 3) row from three (1, 1) scalars."""
+    return s0 * e3[0:1] + s1 * e3[1:2] + s2 * e3[2:3]
+
+
+def _k_matrix_to_q(m, c, e3):
+    """Branchless Shepperd matrix -> quat (rotations.matrix_to_q), on a
+    dict m of (1, 1) entries m[(r, c)]. The XLA version's argmax one-hot
+    becomes a first-max-wins where chain (identical tie-break)."""
+    m00, m01, m02 = m[(0, 0)], m[(0, 1)], m[(0, 2)]
+    m10, m11, m12 = m[(1, 0)], m[(1, 1)], m[(1, 2)]
+    m20, m21, m22 = m[(2, 0)], m[(2, 1)], m[(2, 2)]
+    tw = 1.0 + m00 + m11 + m22
+    tx = 1.0 + m00 - m11 - m22
+    ty = 1.0 - m00 + m11 - m22
+    tz = 1.0 - m00 - m11 + m22
+
+    # one candidate per largest diagonal-ish element; the sqrt sits at the
+    # candidate's own component (rotations.matrix_to_q:140-154)
+    hw = jnp.sqrt(jnp.maximum(tw, 1e-12)) / 2.0
+    q_w = _k_vw(_k_vec3((m21 - m12) / (4 * hw), (m02 - m20) / (4 * hw),
+                        (m10 - m01) / (4 * hw), e3), hw, c)
+    hx = jnp.sqrt(jnp.maximum(tx, 1e-12)) / 2.0
+    q_x = _k_vw(_k_vec3(hx, (m01 + m10) / (4 * hx), (m02 + m20) / (4 * hx),
+                        e3), (m21 - m12) / (4 * hx), c)
+    hy = jnp.sqrt(jnp.maximum(ty, 1e-12)) / 2.0
+    q_y = _k_vw(_k_vec3((m01 + m10) / (4 * hy), hy, (m12 + m21) / (4 * hy),
+                        e3), (m02 - m20) / (4 * hy), c)
+    hz = jnp.sqrt(jnp.maximum(tz, 1e-12)) / 2.0
+    q_z = _k_vw(_k_vec3((m02 + m20) / (4 * hz), (m12 + m21) / (4 * hz), hz,
+                        e3), (m10 - m01) / (4 * hz), c)
+
+    is_w = (tw >= tx) & (tw >= ty) & (tw >= tz)
+    is_x = (~is_w) & (tx >= ty) & (tx >= tz)
+    is_y = (~is_w) & (~is_x) & (ty >= tz)
+    q = jnp.where(is_w, q_w, jnp.where(is_x, q_x, jnp.where(is_y, q_y, q_z)))
+    q = q / jnp.maximum(_k_norm(q), 1e-12)
+    w = q[:, 3:4]
+    return q * jnp.sign(jnp.where(w == 0.0, 1.0, w))
+
+
+def _k_sixd_to_q(sixd, c, e3):
+    """Reference 6D decode (rotations.sixd_to_matrix: +1e-6 norms, third
+    column = cross) followed by matrix -> quat; sixd is (1, 6)."""
+    a1 = _k_vec3(sixd[:, 0:1], sixd[:, 2:3], sixd[:, 4:5], e3)
+    a2 = _k_vec3(sixd[:, 1:2], sixd[:, 3:4], sixd[:, 5:6], e3)
+    a1 = a1 / (_k_norm(a1) + 1e-6)
+    a2 = a2 / (_k_norm(a2) + 1e-6)
+    a3 = _k_cross(a1, a2, c)
+    m = {}
+    for col, a in enumerate((a1, a2, a3)):
+        for row in range(3):
+            m[(row, col)] = a[:, row:row + 1]
+    return _k_matrix_to_q(m, c, e3)
+
+
+def _decode_kernel(yt_ref, filt_ref, coeff_ref, flag_ref, local9_ref,
+                   r1_ref, r2_ref, ev4_ref, ew4_ref, e3_ref, ef4_ref,
+                   eoff4_ref, yf_ref, ct_ref, q_ref, *, filter_len,
+                   n_sbps):
+    c = {"r1": r1_ref[:], "r2": r2_ref[:],
+         "ev4": ev4_ref[:], "ew4": ew4_ref[:]}
+    e3 = e3_ref[:]
+    ef4 = ef4_ref[:]
+    eoff4 = eoff4_ref[:]
+    y_t = yt_ref[:]                                 # (1, D)
+    coeff = coeff_ref[:]                            # (1, filter_len)
+
+    # ---- exponential output filter (runner stage 4, ref :87-112) ---------
+    y_smooth = jnp.dot(coeff, filt_ref[:],
+                       preferred_element_type=y_t.dtype) \
+        / jnp.sum(coeff, axis=-1, keepdims=True)
+    use_filter = flag_ref[:] > 0.5                  # n_out >= filter_len
+    y_f = jnp.where(use_filter, y_smooth, y_t)
+    yf_ref[:] = y_f
+
+    # ---- SBP decode (ref :104-112): flag > 0, offsets / 5 ---------------
+    base = y_f.shape[1] - 4 * n_sbps
+    for k in range(n_sbps):
+        fl = jnp.where(y_f[:, base + 4 * k: base + 4 * k + 1] > 0.0,
+                       1.0, 0.0)
+        offs = y_f[:, base + 4 * k + 1: base + 4 * k + 4] / 5.0
+        ct_ref[k:k + 1, :] = fl @ ef4 + offs @ eoff4
+
+    # ---- rotation decode (runner stage 5 head) ----------------------------
+    # root orientation from the IMU0 matrix (ref :154-167)
+    l9 = local9_ref[:]
+    m = {(r, cc): l9[:, 3 * r + cc: 3 * r + cc + 1]
+         for r in range(3) for cc in range(3)}
+    q_ref[0:1, :] = _k_matrix_to_q(m, c, e3)
+    # model joints 1..17 from the two-axis channels (the model's root row 0
+    # is discarded by the assembly, which takes root ori from the IMU)
+    for j in range(1, 18):
+        q_ref[j:j + 1, :] = _k_sixd_to_q(y_f[:, 6 * j: 6 * j + 6], c, e3)
+
+
+@functools.partial(jax.jit, static_argnames=("filter_len", "n_sbps",
+                                             "interpret"))
+def decode_fused(y_t, filt_view, coeff, use_filter, local9,
+                 filter_len: int = 6, n_sbps: int = 5,
+                 interpret: bool = False) -> DecodeOut:
+    """Fused-kernel equivalent of runner stages 4-5's heavy math — the
+    exponential output filter, SBP flag/offset decode, the 17-joint 6D ->
+    quaternion decode, and the root IMU-matrix -> quaternion — as one op.
+
+    The final quat -> axis-angle step (arctan2: no Mosaic lowering) and the
+    state assembly/blend stay in XLA. Parity pinned in
+    tests/test_fused_tail.py.
+
+    Args:
+      y_t: (D,) raw model output of this frame.
+      filt_view: (filter_len, D) chronological output ring (oldest first).
+      coeff: (filter_len,) filter weights (runner._filter_coeff).
+      use_filter: () bool/float — n_out >= filter_len.
+      local9: (9,) row-major root IMU rotation matrix (local[:9]).
+    """
+    dtd = y_t.dtype
+    spec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)
+    kern = functools.partial(_decode_kernel, filter_len=filter_len,
+                             n_sbps=n_sbps)
+    consts = tuple(jnp.asarray(mm, dtd) for mm in
+                   (_ROLL1, _ROLL2, _E_V4, _E_W4, _EYE3, _E_F4, _E_OFF4))
+    D = y_t.shape[0]
+    flag = jnp.asarray(use_filter, dtd).reshape(1, 1)
+    outs = pl.pallas_call(
+        kern,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, D), dtd),             # y_f
+            jax.ShapeDtypeStruct((n_sbps, 4), dtd),        # c_t rows
+            jax.ShapeDtypeStruct((18, 4), dtd),            # q_rows
+        ],
+        in_specs=[spec] * (5 + len(consts)),
+        out_specs=[spec] * 3,
+        interpret=interpret,
+    )(y_t[None], filt_view, jnp.asarray(coeff, dtd)[None], flag,
+      local9[None], *consts)
+    y_f, ct, q = outs
+    return DecodeOut(y_f=y_f[0], c_t=ct, q_rows=q)
 
 
 def _tail_kernel(s_ref, ct_ref, prev_pq_ref, joff_ref, coff_ref, r1_ref,

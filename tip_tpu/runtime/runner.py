@@ -371,19 +371,34 @@ def sense_and_predict(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
                             carry.out_buf)
         filt_view = out_buf
     n_out = jnp.where(active, carry.n_out + 1, carry.n_out)
-    y_smooth = jnp.sum(filt_view * coeff[:, None], axis=0) / jnp.sum(coeff)
-    y_f = jnp.where(n_out >= cfg.filter_len, y_smooth, y_t)
+    if cfg.tail_impl == "fused":
+        # decode-front kernel: filter + SBP decode + all 6D->quat decodes in
+        # one op (ops/fused_tail.decode_fused); only the arctan2 step
+        # (q -> axis-angle, no Mosaic lowering) stays in XLA.
+        from tip_tpu.ops import fused_tail as FT
+        dec = FT.decode_fused(y_t, filt_view, coeff,
+                              n_out >= cfg.filter_len, local[:9],
+                              filter_len=cfg.filter_len, n_sbps=n_sbps,
+                              interpret=jax.default_backend() != "tpu")
+        y_f = dec.y_f
+        c_t = dec.c_t.reshape(-1)
+        aa18 = rot.q_to_aa(dec.q_rows)             # (18, 3)
+        root_aa = aa18[0]
+        st_aa = aa18.reshape(54)                   # row 0 unused below
+    else:
+        y_smooth = jnp.sum(filt_view * coeff[:, None], axis=0) / jnp.sum(coeff)
+        y_f = jnp.where(n_out >= cfg.filter_len, y_smooth, y_t)
 
-    st_2axis = y_f[:-n_sbps * 4 - 3]                   # (108,)
+        st_2axis = y_f[:-n_sbps * 4 - 3]               # (108,)
+        c_t = y_f[-n_sbps * 4:]
+        flags = (c_t[0::4] > 0.0).astype(dtype)
+        offs = c_t.reshape(n_sbps, 4)[:, 1:] / 5.0
+        c_t = jnp.concatenate([flags[:, None], offs], axis=1).reshape(-1)
+
+        # ---- 5. state assembly (ref :154-167) ---------------------------------
+        st_aa = rot.sixd_to_aa(st_2axis.reshape(18, 6)).reshape(54)
+        root_aa = rot.matrix_to_aa(local[:9].reshape(3, 3))
     root_v = y_f[108:111]
-    c_t = y_f[-n_sbps * 4:]
-    flags = (c_t[0::4] > 0.0).astype(dtype)
-    offs = c_t.reshape(n_sbps, 4)[:, 1:] / 5.0
-    c_t = jnp.concatenate([flags[:, None], offs], axis=1).reshape(-1)
-
-    # ---- 5. state assembly (ref :154-167) -------------------------------------
-    st_aa = rot.sixd_to_aa(st_2axis.reshape(18, 6)).reshape(54)
-    root_aa = rot.matrix_to_aa(local[:9].reshape(3, 3))
     s_t = jnp.zeros(2 * cst.N_DOFS, dtype)
     s_t = s_t.at[cst.N_DOFS:cst.N_DOFS + 3].set(root_v)
     s_t = s_t.at[:3].set(carry.prev_root + root_v * cfg.dt)

@@ -286,7 +286,8 @@ def restore_checkpoint(ckpt_dir: str, cfg: TrainConfig,
     import orbax.checkpoint as ocp
     ckpt_dir = os.path.abspath(ckpt_dir)
     template = init_state(cfg)
-    with ocp.CheckpointManager(ckpt_dir) as mngr:
+    with ocp.CheckpointManager(
+            ckpt_dir, item_handlers=ocp.StandardCheckpointHandler()) as mngr:
         step = step if step is not None else mngr.latest_step()
         try:
             restored = mngr.restore(step, args=ocp.args.StandardRestore(
@@ -307,7 +308,22 @@ def restore_checkpoint(ckpt_dir: str, cfg: TrainConfig,
                     f"separately (head-clean tensor parallelism). Re-export "
                     f"the weights or retrain. Original error: {e}") from e
             if params_only and "tree structures do not match" in str(e):
-                raw = mngr.restore(step)      # structure-free restore
+                # Structure-free restore. A bare mngr.restore(step) would
+                # replay the STORED shardings, which names the training
+                # devices — a TPU-trained checkpoint then fails to open on
+                # a CPU-only serving host ("Device TPU v5 lite0 was not
+                # found"). Rebuild abstract targets from the on-disk
+                # metadata with host-local placement instead, so inference
+                # consumers stay device-portable.
+                meta = mngr.item_metadata(step)
+                meta_tree = getattr(meta, "tree", meta)
+                host = jax.sharding.SingleDeviceSharding(
+                    jax.local_devices()[0])
+                raw = mngr.restore(step, args=ocp.args.StandardRestore(
+                    jax.tree.map(
+                        lambda mm: jax.ShapeDtypeStruct(
+                            mm.shape, mm.dtype, sharding=host),
+                        meta_tree)))
                 if (jax.tree_util.tree_structure(raw["params"])
                         != jax.tree_util.tree_structure(template.params)):
                     # it wasn't (just) the optimizer: the model
