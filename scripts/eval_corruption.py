@@ -8,7 +8,7 @@ imputation path, constant acc bias beyond the train-time ±0.1, calibration
 rotation error) and the metric table is written per rung.
 
 Usage:
-    python scripts/eval_corruption.py --out /root/corpus_run \
+    python scripts/eval_corruption.py --out /root/repo/artifacts/corpus_run_v2 \
         [--results corruption.json] [--mode recompute] [--n_motions 20]
 
 Reference corruption sources: preprocess_DIP_TC_new.py:112-136 (dropout
@@ -29,7 +29,7 @@ sys.path.insert(0, _HERE)                    # scripts (train_convergence)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="/root/corpus_run")
+    ap.add_argument("--out", default="/root/repo/artifacts/corpus_run_v2")
     ap.add_argument("--test_dir", default=None)
     ap.add_argument("--results", default="corruption.json")
     ap.add_argument("--mode", default="recompute",

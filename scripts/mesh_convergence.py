@@ -31,7 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--data_prefix", default="/root/corpus_run/packed")
+    ap.add_argument("--data_prefix",
+                    default="/root/repo/artifacts/corpus_run_v2/packed")
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--segments", type=int, default=8,
                     help="corpus segments in the mini-dataset")

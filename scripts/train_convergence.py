@@ -15,7 +15,10 @@ skipped when the blobs exist, training restores the latest orbax checkpoint
 sampler, eval caches per-mode metric dumps.
 
 Run (real TPU, hours):
-  python scripts/train_convergence.py --epochs 1100 --out /root/corpus_run
+  python scripts/train_convergence.py --epochs 1100 \
+      --out /root/repo/artifacts/corpus_run_v2
+(Artifacts live INSIDE the repo since round 4: the round-3 /root/corpus_run
+died in a host move. scripts/round4_campaign.sh chains the full campaign.)
 """
 
 import argparse
@@ -243,7 +246,7 @@ def phase_eval(out, epochs, test_dir=None, test_len=690,
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--out", default="/root/corpus_run")
+    ap.add_argument("--out", default="/root/repo/artifacts/corpus_run_v2")
     ap.add_argument("--epochs", type=int, default=1100)
     ap.add_argument("--n_train", type=int, default=260)
     ap.add_argument("--n_test", type=int, default=40)
