@@ -62,8 +62,7 @@ def main():
     if args.n_motions:
         files = files[:args.n_motions]
 
-    model_cfg = ModelConfig(size_s=cst.state_dim(5), with_acc_sum=True,
-                            serving_mode=args.mode)
+    model_cfg = ModelConfig(size_s=cst.state_dim(5), with_acc_sum=True)
     res_path = os.path.join(args.out, args.results)
     results = {"step": int(state.step), "mode": args.mode,
                "n_test": len(files), "rungs": {}}

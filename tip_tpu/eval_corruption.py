@@ -56,7 +56,11 @@ class CorruptionConfig:
     def label(self) -> str:
         parts = []
         if self.dropout_rate_hz:
-            parts.append(f"drop{self.dropout_rate_hz:g}Hz")
+            part = f"drop{self.dropout_rate_hz:g}Hz"
+            if self.dropout_len_s != (0.05, 0.5):
+                part += (f"x{self.dropout_len_s[0]:g}"
+                         f"-{self.dropout_len_s[1]:g}s")
+            parts.append(part)
         if self.acc_bias:
             parts.append(f"bias{self.acc_bias:g}")
         if self.calib_rot_deg:

@@ -263,10 +263,17 @@ def shard_state(state: TrainState, mesh) -> TrainState:
 # checkpointing (orbax): full state, resume-exact
 # ---------------------------------------------------------------------------
 
-def save_checkpoint(ckpt_dir: str, state: TrainState, step: int):
+def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
+                    max_to_keep: int = 4):
+    """Save full train state; retain only the newest ``max_to_keep`` steps
+    (a 1100-epoch run otherwise accretes ~1.8 GB of 25-epoch snapshots —
+    resume only ever reads the latest)."""
     import orbax.checkpoint as ocp
     ckpt_dir = os.path.abspath(ckpt_dir)
-    with ocp.CheckpointManager(ckpt_dir) as mngr:
+    with ocp.CheckpointManager(
+            ckpt_dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep)) as mngr:
         mngr.save(step, args=ocp.args.StandardSave(
             {"params": state.params, "opt_state": state.opt_state,
              "step": state.step, "rng": state.rng}))
