@@ -108,6 +108,51 @@ def test_motion_terrain_metrics_on_faithful_map(setup):
     assert s["height_mae_m_max"] >= s["height_mae_m"]
 
 
+def test_drift_corrected_metrics_isolate_estimator_error(setup):
+    """A runner whose root drifts writes the map at drifted contact
+    positions: the plain MAE charges that localization error to the map,
+    the drift-corrected MAE (gt samples shifted into the runner's frame by
+    the per-frame root drift) does not — it scores the estimator itself."""
+    _, skel = setup
+    tcfg = terrain_lib.TerrainConfig(map_bound=6.0)
+    T = 240
+    gt, c, pts = _straight_walk_gt(skel, T, lambda x: 0.15 * np.floor(x))
+    # linearly growing root drift, up to 0.8 m in x and 0.2 m in z
+    drift = np.linspace(0.0, 1.0, T)[:, None] * np.array([0.8, 0.0, 0.2])
+    pred = gt.copy()
+    pred[:, 0:3] += drift
+
+    # build the map the way the drifting runner would: contacts at the
+    # estimated (shifted) positions
+    state = terrain_lib.terrain_init(tcfg)
+    upd = np.zeros((T, 3), bool)
+    viz = np.full((T, 5, 3), 100.0)
+    for t in range(4, T, 8):
+        p = pts[t - 1] + drift[t - 1]
+        state, _ = terrain_lib.update_height_map(
+            state, tcfg, jnp.asarray(p, jnp.float32), jnp.asarray(True))
+        upd[t, 0] = True
+        viz[t - 1, 0] = p
+
+    m = ET.motion_terrain_metrics(skel, gt, c, state, tcfg, viz=viz, upd=upd,
+                                  pred_qdq=pred)
+    assert m["pct_path_established_dc"] > 0.9
+    assert m["height_mae_dc_m"] < 0.06          # estimator is near-perfect
+    assert m["height_mae_m"] > 0.05             # plain MAE eats the drift
+    assert m["height_mae_dc_m"] < 0.5 * m["height_mae_m"]
+
+    s = ET.summarize([m, None])
+    assert s["n_motions_with_contacts"] == 1
+    assert s["height_mae_dc_m"] == pytest.approx(m["height_mae_dc_m"],
+                                                 abs=1e-4)
+
+    # without pred_qdq the dc keys are absent and summarize omits them
+    m2 = ET.motion_terrain_metrics(skel, gt, c, state, tcfg,
+                                   viz=viz, upd=upd)
+    assert "height_mae_dc_m" not in m2
+    assert "height_mae_dc_m" not in ET.summarize([m2])
+
+
 def test_gt_contact_samples_positions():
     """Contact points are the FK'd foot links plus the label offsets."""
     skel = kin.amass_skeleton()
@@ -174,3 +219,8 @@ def test_evaluate_extras_end_to_end(setup, tmp_path):
     assert "terrain" in extras
     assert extras["terrain"]["n_motions_with_contacts"] == 1
     assert np.isfinite(extras["terrain"]["pct_path_established"])
+    # the drift-corrected variant rides along (pred is always available in
+    # the harness). With this test's random params the drift can shift the
+    # gt path entirely off the established cells, so only the coverage key
+    # is guaranteed (mae_dc is NaN -> omitted when nothing is established).
+    assert np.isfinite(extras["terrain"]["pct_path_established_dc"])

@@ -49,6 +49,12 @@ def main():
                     help="replay each motion in the PyBullet viewer: ours vs "
                          "GT + SBP markers + terrain (needs the pybullet "
                          "wheel; reference --compare_gt viz)")
+    ap.add_argument("--render_gifs", default=None, metavar="DIR",
+                    help="write one ours-vs-GT stick-figure GIF per motion "
+                         "into DIR (matplotlib renderer, no pybullet; "
+                         "includes SBP markers and, with --full_runner, the "
+                         "final terrain map)")
+    ap.add_argument("--render_stride", type=int, default=4)
     ap.add_argument("--extras", action="store_true",
                     help="also report capability metrics beyond the "
                          "reference's 8: per-channel SBP contact-flag "
@@ -123,6 +129,27 @@ def main():
                 np.asarray(to_bullet(jnp.asarray(gt, jnp.float32))),
                 viz_locs=info.get("viz_locs"), heights=heights,
                 grid_size=gsz)
+
+    if args.render_gifs:
+        import os
+
+        import numpy as np
+        from tip_tpu.ops import kinematics as kin
+        from tip_tpu.viz import skeleton_render as SR
+        os.makedirs(args.render_gifs, exist_ok=True)
+        rskel = kin.amass_skeleton()
+        prev_hook = viz_hook
+
+        def viz_hook(f, gt, pred, info, _prev=prev_hook):
+            if _prev is not None:
+                _prev(f, gt, pred, info)
+            name = os.path.splitext(os.path.basename(f))[0] + ".gif"
+            SR.render_motion(
+                rskel, np.asarray(pred), os.path.join(args.render_gifs, name),
+                gt_qdq=np.asarray(gt), viz_locs=info.get("viz_locs"),
+                terrain_state=info.get("terrain"),
+                terrain_cfg=info.get("terrain_cfg"),
+                stride=args.render_stride)
 
     mw = None
     if args.metrics:

@@ -239,7 +239,8 @@ def evaluate(params, cfg: EvalConfig, test_files: Sequence[str],
             terrain_accum.append(eval_terrain.motion_terrain_metrics(
                 skel, Y, C[:m_len] if C is not None else None,
                 info["terrain"], info["terrain_cfg"],
-                viz=info["viz_raw"], upd=info["upd"]))
+                viz=info["viz_raw"], upd=info["upd"],
+                pred_qdq=np.asarray(pred)))
         if save_trajs_path:
             gt_list.append(Y)
             ours_list.append(np.asarray(pred))

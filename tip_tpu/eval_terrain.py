@@ -19,6 +19,18 @@ Reported per motion (aggregated by ``summarize``):
     its establishment in the map (from the runner's recorded update flags;
     clamped at 0 for cells pre-established by patch diffusion).
 
+When the predicted trajectory is supplied (``pred_qdq``), the drift-corrected
+variants ``height_mae_dc_m`` / ``height_bias_dc_m`` /
+``pct_path_established_dc`` are also reported. The runner writes map cells at
+its *estimated* (drifting) contact positions, so the plain MAE folds root
+localization error into the map score wherever the ground isn't flat. The
+corrected variant transforms each ground-truth contact sample into the
+runner's frame by the instantaneous root drift d(t) = pred_root(t) −
+gt_root(t) (full 3-vector) before querying/penalising the map — i.e. it asks
+"did the map faithfully record the terrain the runner *experienced*?",
+isolating the terrain estimator's own error from the localization error that
+root-drift metrics already charge separately.
+
 Cell establishment times are reconstructed from the (T, 3) update-flag
 track emitted by ``runtime.full_runner`` rather than by replaying the tick
 state machine: every committed update writes its full (2d, 2d) confidence
@@ -124,14 +136,32 @@ def established_mask_from_updates(viz: np.ndarray, upd: np.ndarray,
     return (establishment_frames(viz, upd, cfg, cells) >= 0).reshape(G, G)
 
 
+def _cell_height_table(pts: np.ndarray, cfg: terrain_lib.TerrainConfig):
+    """Group contact samples by grid cell: returns (unique flat cells,
+    inverse index, per-cell mean gt height, per-cell sample counts)."""
+    cells = _cells(pts[:, :2], cfg)
+    flat = cells[:, 0] * cfg.grid_num + cells[:, 1]
+    uniq, inv = np.unique(flat, return_inverse=True)
+    gt_h = np.zeros(len(uniq))
+    counts = np.bincount(inv, minlength=len(uniq))
+    np.add.at(gt_h, inv, pts[:, 2])
+    gt_h /= np.maximum(counts, 1)
+    return uniq, inv, gt_h, counts
+
+
 def motion_terrain_metrics(skel: kin.Skeleton, gt_qdq: np.ndarray,
                            gt_c: Optional[np.ndarray],
                            terrain_state: terrain_lib.TerrainState,
                            cfg: terrain_lib.TerrainConfig,
                            viz: Optional[np.ndarray] = None,
-                           upd: Optional[np.ndarray] = None
+                           upd: Optional[np.ndarray] = None,
+                           pred_qdq: Optional[np.ndarray] = None
                            ) -> Optional[Dict[str, float]]:
     """Terrain quality of one motion's final map vs its labeled ground truth.
+
+    pred_qdq: optional latency-trimmed predicted trajectory frame-aligned
+    with gt_qdq (the harness's ``pred``); enables the drift-corrected
+    metrics (module docstring).
 
     Returns None when the motion has no labeled foot contacts (e.g. the
     freeform family) — such motions carry no terrain signal either way.
@@ -142,31 +172,48 @@ def motion_terrain_metrics(skel: kin.Skeleton, gt_qdq: np.ndarray,
     if len(pts) == 0:
         return None
 
-    cells = _cells(pts[:, :2], cfg)
-    flat = cells[:, 0] * cfg.grid_num + cells[:, 1]
-    uniq, inv = np.unique(flat, return_inverse=True)
     # per-cell ground-truth height (mean of contact samples) + first contact
-    gt_h = np.zeros(len(uniq))
+    uniq, inv, gt_h, _counts = _cell_height_table(pts, cfg)
     first_contact = np.full(len(uniq), np.iinfo(np.int64).max)
-    counts = np.bincount(inv, minlength=len(uniq))
-    np.add.at(gt_h, inv, pts[:, 2])
-    gt_h /= np.maximum(counts, 1)
     np.minimum.at(first_contact, inv, frames)
 
-    ui, uj = uniq // cfg.grid_num, uniq % cfg.grid_num
     conf = np.asarray(terrain_state.confidence)
-    est = conf[ui, uj] > -99.0
-    height = np.asarray(terrain_lib.height_field(terrain_state))[ui, uj]
+    hfield = np.asarray(terrain_lib.height_field(terrain_state))
 
+    def _score(flat_cells, cell_h):
+        """(established mask, pct established, MAE, bias) of the map vs the
+        per-cell target heights."""
+        ui, uj = flat_cells // cfg.grid_num, flat_cells % cfg.grid_num
+        est = conf[ui, uj] > -99.0
+        err = hfield[ui, uj][est] - cell_h[est]
+        return (est, float(est.mean()),
+                float(np.abs(err).mean()) if est.any() else float("nan"),
+                float(err.mean()) if est.any() else float("nan"))
+
+    est, pct, mae, bias = _score(uniq, gt_h)
     out = {
         "n_path_cells": float(len(uniq)),
-        "pct_path_established": float(est.mean()),
-        "height_mae_m": (float(np.abs(height[est] - gt_h[est]).mean())
-                         if est.any() else float("nan")),
-        "height_bias_m": (float((height[est] - gt_h[est]).mean())
-                          if est.any() else float("nan")),
+        "pct_path_established": pct,
+        "height_mae_m": mae,
+        "height_bias_m": bias,
     }
+
+    if pred_qdq is not None:
+        # drift-corrected frame: shift each gt contact sample by the
+        # instantaneous root drift (module docstring); pred is frame-aligned
+        # with gt after the harness's latency trim
+        n = min(len(pred_qdq), len(gt_qdq))
+        drift = np.asarray(pred_qdq)[:n, 0:3] - np.asarray(gt_qdq)[:n, 0:3]
+        keep = frames < n
+        pts_dc = pts[keep] + drift[frames[keep]]
+        if len(pts_dc):
+            uniq_dc, _, gt_h_dc, _ = _cell_height_table(pts_dc, cfg)
+            _, pct_dc, mae_dc, bias_dc = _score(uniq_dc, gt_h_dc)
+            out.update({"pct_path_established_dc": pct_dc,
+                        "height_mae_dc_m": mae_dc,
+                        "height_bias_dc_m": bias_dc})
     if viz is not None and upd is not None:
+        ui, uj = uniq // cfg.grid_num, uniq % cfg.grid_num
         q = np.stack([ui, uj], axis=1)
         est_frame = establishment_frames(np.asarray(viz), np.asarray(upd),
                                          cfg, q)
@@ -184,6 +231,7 @@ def summarize(per_motion: Sequence[Optional[Dict[str, float]]]
     if not rows:
         return {"n_motions_with_contacts": 0}
     keys = ("height_mae_m", "height_bias_m", "pct_path_established",
+            "height_mae_dc_m", "height_bias_dc_m", "pct_path_established_dc",
             "latency_s", "n_path_cells")
     out: Dict[str, float] = {"n_motions_with_contacts": len(rows)}
     for k in keys:
