@@ -39,24 +39,41 @@ TEST_DURATION_S = 12.5          # fixed-length held-out clips: the streaming
                                 # clamped the metric at ~9.3 s)
 
 
-def phase_corpus(out, n_train, n_test, exclude=()):
+def phase_corpus(out, n_train, n_test, exclude=(), skip_train=False,
+                 skip_test=False):
     from tip_tpu.data_gen import corpus
     t0 = time.time()
-    n = corpus.generate_corpus(os.path.join(out, "corpus_train"), n_train,
-                               seed=100, exclude=exclude)
-    n += corpus.generate_corpus(os.path.join(out, "corpus_test"), n_test,
-                                seed=900, duration_s=TEST_DURATION_S,
-                                exclude=exclude)
+    n = 0
+    if not skip_train:
+        n += corpus.generate_corpus(os.path.join(out, "corpus_train"),
+                                    n_train, seed=100, exclude=exclude)
+    if not skip_test:
+        n += corpus.generate_corpus(os.path.join(out, "corpus_test"), n_test,
+                                    seed=900, duration_s=TEST_DURATION_S,
+                                    exclude=exclude)
     print(f"corpus: {n} new motions ({time.time()-t0:.0f}s)")
 
 
-def phase_pack(out):
+def phase_supplement(out, family, n, seed):
+    """Single-family training supplement (<out>/corpus_extra): the corpus
+    v3 study mixes extra opt-in-family motions (e.g. freeform2) on top of
+    an existing base corpus — only the supplement differs between the A/B
+    arms, so quality deltas on the SAME held-out set are attributable."""
+    from tip_tpu.data_gen import corpus
+    t0 = time.time()
+    n_new = corpus.generate_corpus(os.path.join(out, "corpus_extra"), n,
+                                   seed=seed, families=(family,))
+    print(f"supplement: {n_new} new {family} motions ({time.time()-t0:.0f}s)")
+
+
+def phase_pack(out, train_dirs=None):
     from tip_tpu.data_gen.combine import combine
     prefix = os.path.join(out, "packed")
     if os.path.exists(prefix + "_imu.npy"):
         return prefix
     t0 = time.time()
-    combine([os.path.join(out, "corpus_train")], [1], prefix, seed=0)
+    dirs = list(train_dirs or [os.path.join(out, "corpus_train")])
+    combine(dirs, [1] * len(dirs), prefix, seed=0)
     print(f"packed in {time.time()-t0:.0f}s")
     return prefix
 
@@ -268,6 +285,14 @@ def main():
     ap.add_argument("--exclude", action="append", default=[],
                     help="corpus family to exclude (repeatable; "
                          "leave-one-family-out training)")
+    ap.add_argument("--base_train_dir", default=None,
+                    help="existing training pickle dir to pack INSTEAD of "
+                         "generating <out>/corpus_train (A/B studies reuse "
+                         "the flagship corpus; pair with --test_dir)")
+    ap.add_argument("--supplement", default=None, metavar="FAMILY:N:SEED",
+                    help="also generate <out>/corpus_extra with N motions "
+                         "of one (possibly opt-in) family and mix it into "
+                         "packing — the corpus v3 freeform-boost study")
     ap.add_argument("--eval_family", action="append", default=[],
                     help="restrict eval to these families (repeatable)")
     ap.add_argument("--platform", default=None, choices=["cpu", "axon"],
@@ -285,12 +310,25 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     os.makedirs(args.out, exist_ok=True)
 
+    sup = None
+    if args.supplement:
+        fam, n_sup, seed_sup = args.supplement.split(":")
+        sup = (fam, int(n_sup), int(seed_sup))
+
     if args.phase in ("all", "corpus") and args.data_prefix is None:
         phase_corpus(args.out, args.n_train, args.n_test,
-                     exclude=tuple(args.exclude))
+                     exclude=tuple(args.exclude),
+                     skip_train=args.base_train_dir is not None,
+                     skip_test=args.test_dir is not None)
+        if sup:
+            phase_supplement(args.out, *sup)
     prefix = args.data_prefix or os.path.join(args.out, "packed")
     if args.phase in ("all", "pack") and args.data_prefix is None:
-        prefix = phase_pack(args.out)
+        train_dirs = [args.base_train_dir
+                      or os.path.join(args.out, "corpus_train")]
+        if sup:
+            train_dirs.append(os.path.join(args.out, "corpus_extra"))
+        prefix = phase_pack(args.out, train_dirs)
     if args.phase in ("all", "train"):
         phase_train(args.out, prefix, args.epochs,
                     dropout_impl=args.dropout_impl)

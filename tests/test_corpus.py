@@ -300,3 +300,69 @@ def test_dance_family_contact_statistics():
     on = (c[:, 0, 0] > 0) & np.isfinite(c[:, 0, 0])
     runs = int(np.sum(np.diff(on.astype(int)) == 1))
     assert runs >= 4, runs
+
+
+def test_freeform2_is_opt_in_only():
+    """The corpus v3 supplement family must NOT join the default mix:
+    adding a row to _FAMILIES would change the (seed, i) -> family draw
+    stream and break bit-identical regeneration of the v2/LOFO corpora
+    (the archived results.json files are keyed to those exact corpora)."""
+    assert all(n != "freeform2" for n, _, _ in corpus._FAMILIES)
+    assert any(n == "freeform2" for n, _, _ in corpus._EXTRA_FAMILIES)
+    assert len(corpus._FAMILIES) == 12
+
+
+def test_freeform2_motion_properties():
+    """Enriched free-form: segment crossfades keep joints/translation
+    smooth; the root actually rotates (v2 freeform roots never do); the
+    synthesized payload is finite with freeform-like (near-zero) contact
+    rates."""
+    rng = np.random.default_rng(7)
+    fam, m = corpus.make_motion(rng, "freeform2")
+    assert fam == "freeform2"
+    T = len(m.poses)
+    assert T >= int(8.0 * corpus.FPS)
+
+    # non-root joint fields are continuous through the segment crossfades
+    # (root rotvecs may branch-flip at |angle|=pi, which slerp absorbs)
+    dpose = np.abs(np.diff(m.poses[:, 1:], axis=0)).max()
+    assert dpose < 0.1, dpose            # rad per 120 Hz frame
+    dtrans = np.abs(np.diff(m.trans, axis=0)).max()
+    assert dtrans < 0.02, dtrans         # <2.4 m/s equivalent
+
+    # the root actually rotates (v2 freeform roots are constant) and its
+    # quaternion path is smooth (rotvec branch flips are representation-only)
+    r_all = Rotation.from_rotvec(m.poses[:, 0])
+    dpsi = np.abs(np.diff(r_all.as_quat(), axis=0)).max()
+    assert dpsi < 0.05, dpsi
+    dev = (r_all[0].inv() * r_all).magnitude().max()
+    assert dev > 0.05, dev
+
+    payload = amass_syn.synthesize(m, height=1.7, rng=rng)
+    for k in ("imu", "nimble_qdq", "constrs"):
+        assert np.isfinite(payload[k]).all(), k
+    c = payload["constrs"].reshape(-1, 5, 4)
+    feet = ((c[:, :2, 0] > 0) & np.isfinite(c[:, :2, 0])).mean()
+    assert feet <= 0.25, feet            # contact-free regime like freeform
+
+
+def test_generate_corpus_families_param(tmp_path):
+    """families= draws only the requested (possibly opt-in) families and
+    stays resumable; bad combinations raise."""
+    out = str(tmp_path / "sup")
+    wrote = corpus.generate_corpus(out, 2, seed=300,
+                                   families=("freeform2",),
+                                   log=lambda *a: None)
+    assert wrote == 2
+    import os
+    files = sorted(os.listdir(out))
+    assert len(files) == 2
+    assert all(f.startswith("freeform2_") for f in files)
+    # idempotent rerun
+    assert corpus.generate_corpus(out, 2, seed=300, families=("freeform2",),
+                                  log=lambda *a: None) == 0
+    with pytest.raises(ValueError):
+        corpus.generate_corpus(out, 1, families=("nope",))
+    with pytest.raises(ValueError):
+        corpus.generate_corpus(out, 1, families=("freeform2",),
+                               exclude=("dance",))

@@ -734,6 +734,124 @@ def make_freeform(rng, duration_s: float = 8.0):
     return smpl.SmplMotion(poses=poses, trans=trans, fps=FPS)
 
 
+def make_freeform2(rng, duration_s: float = 10.0):
+    """Enriched free-form family (corpus v3 TRAINING supplement; opt-in via
+    ``generate_corpus(families=...)`` — never in the default mix, so v2
+    corpora keep regenerating bit-identically from seeds).
+
+    Motivation: the flagship's quality tail concentrates on `freeform`
+    (RESULTS.md round 4: 7.9 deg family mean vs 2.29 deg overall) and the
+    v2 generator gives each joint ONE fixed (amp, freq, axis) sinusoid for
+    the whole clip — a thin slice of the contact-free pose space per clip.
+    This generator widens training *coverage* of the same regime (the
+    TODO.md lever: "wider upper-body fields, faster re-seeding"):
+
+      * the clip is split into 2-4 s segments, each with a fresh random
+        field, crossfaded through a smoothstep partition of unity (~0.5 s),
+        so one clip visits several field draws;
+      * two harmonics per joint and a wider amplitude range;
+      * slow root yaw precession + tilt oscillation (v2 freeform roots
+        never rotate, so the root-IMU statistics of the family were a
+        single point);
+      * per-segment constant-velocity translation with turns (v2 draws one
+        velocity for the whole clip).
+
+    The v2 held-out freeform clips remain inside this distribution's span
+    (one segment, single harmonic, zero yaw rate / tilt), so adding the
+    family is coverage of the eval regime, not a distribution swap.
+    """
+    T = int(duration_s * FPS)
+    t = np.arange(T) / FPS
+    joints = (1, 2, 4, 5, 7, 8, 3, 6, 9, 12, 15, 16, 17, 18, 19)
+
+    # segment boundaries: 2-4 s each, final segment whatever remains (<=4 s;
+    # a sliver-short final segment is harmless — the partition of unity
+    # below stays smooth and normalized regardless of segment length)
+    bounds = [0.0]
+    while duration_s - bounds[-1] > 4.0:
+        bounds.append(bounds[-1] + float(rng.uniform(2.0, 4.0)))
+    bounds.append(duration_s)
+    n_seg = len(bounds) - 1
+
+    def draw_segment():
+        field = {}
+        for j in joints:
+            field[j] = [(float(rng.uniform(0.05, 0.55)),
+                         float(rng.uniform(0.2, 1.5)),
+                         float(rng.uniform(0, 2 * np.pi)),
+                         _unit(rng.normal(size=3))),
+                        (float(rng.uniform(0.02, 0.25)),
+                         float(rng.uniform(0.2, 1.5)),
+                         float(rng.uniform(0, 2 * np.pi)),
+                         _unit(rng.normal(size=3)))]
+        return dict(
+            field=field,
+            vel=rng.uniform(-0.6, 0.6, size=2),
+            bob=(float(rng.uniform(0.01, 0.05)),
+                 float(rng.uniform(0.4, 1.4)),
+                 float(rng.uniform(0, 2 * np.pi))),
+            yaw_rate=float(rng.uniform(-0.5, 0.5)),
+            tilt=(float(rng.uniform(0.0, 0.15)),
+                  float(rng.uniform(0.2, 0.8)),
+                  float(rng.uniform(0, 2 * np.pi)),
+                  _unit(np.r_[rng.normal(size=2), 0.0])))
+
+    segs = [draw_segment() for _ in range(n_seg)]
+
+    # partition of unity over segments: w_k = s_k - s_{k+1} with smoothstep
+    # transitions of width `c` centred on each interior boundary
+    c = 0.5
+    S = [np.ones(T)]
+    for b in bounds[1:-1]:
+        S.append(_smoothstep((t - (b - c / 2)) / c))
+    S.append(np.zeros(T))
+    W = [S[k] - S[k + 1] for k in range(n_seg)]
+
+    poses = np.zeros((T, 24, 3))
+    for j in joints:
+        acc = np.zeros((T, 3))
+        for w, seg in zip(W, segs):
+            for amp, f, ph, ax in seg["field"][j]:
+                acc += np.outer(
+                    w * amp * np.sin(2 * np.pi * f * t + ph), ax)
+        poses[:, j] = acc
+
+    # root: blended yaw rate integrated to a heading, small tilt about a
+    # horizontal axis, composed onto the z-up frame like make_dance's pelvis
+    yaw_rate = np.zeros(T)
+    tilt_vec = np.zeros((T, 3))
+    for w, seg in zip(W, segs):
+        yaw_rate += w * seg["yaw_rate"]
+        amp, f, ph, ax = seg["tilt"]
+        tilt_vec += np.outer(w * amp * np.sin(2 * np.pi * f * t + ph), ax)
+    psi = np.cumsum(yaw_rate) / FPS
+    r_root = (Rotation.from_euler("z", psi[:, None])
+              * Rotation.from_rotvec(tilt_vec) * _R_ZUP)
+    poses[:, 0] = r_root.as_rotvec()
+
+    # translation: blended per-segment velocity integrated (turns at the
+    # crossfades), z bobbing around the v2 baseline height
+    vel = np.zeros((T, 2))
+    bob = np.zeros(T)
+    for w, seg in zip(W, segs):
+        vel += w[:, None] * seg["vel"][None]
+        amp, f, ph = seg["bob"]
+        bob += w * amp * np.sin(2 * np.pi * f * t + ph)
+    trans = np.zeros((T, 3))
+    trans[:, :2] = np.cumsum(vel, axis=0) / FPS
+    trans[:, 2] = 0.95 + bob
+    return smpl.SmplMotion(poses=poses, trans=trans, fps=FPS)
+
+
+# opt-in families: selectable via generate_corpus(families=...), NEVER part
+# of the default mix (adding a row to _FAMILIES would change the
+# (seed, i) -> family draw stream and break bit-identical regeneration of
+# the v2/LOFO corpora after host moves)
+_EXTRA_FAMILIES = (
+    ("freeform2", 1.0, lambda rng: dict()),
+)
+
+
 # ---------------------------------------------------------------------------
 # contact-rich families (wrist/pelvis SBP positive labels — VERDICT r3 #4:
 # the 5-SBP surface trains all five channels only if the corpus contains
@@ -1137,7 +1255,8 @@ def make_motion(rng, family: Optional[str] = None,
     if family is None:
         w = np.array([f[1] for f in _FAMILIES])
         family = _FAMILIES[rng.choice(len(_FAMILIES), p=w / w.sum())][0]
-    kw = next(kws for n, _, kws in _FAMILIES if n == family)(rng)
+    kw = next(kws for n, _, kws in _FAMILIES + _EXTRA_FAMILIES
+              if n == family)(rng)
 
     def dur(lo, hi):
         if duration_s is not None:
@@ -1163,12 +1282,14 @@ def make_motion(rng, family: Optional[str] = None,
         return family, make_crawl(rng, duration_s=dur(8, 12))
     if family == "lean":
         return family, make_lean(rng, duration_s=dur(8, 10))
+    if family == "freeform2":
+        return family, make_freeform2(rng, duration_s=dur(8, 12))
     return family, make_freeform(rng, duration_s=dur(5, 10))
 
 
 def generate_corpus(out_dir: str, n_motions: int, seed: int = 0,
                     start: int = 0, duration_s: Optional[float] = None,
-                    log=print, exclude=()) -> int:
+                    log=print, exclude=(), families=None) -> int:
     """Write `n_motions` synthesized training pickles into out_dir.
 
     Resumable/idempotent like the reference generator (existing outputs are
@@ -1180,14 +1301,30 @@ def generate_corpus(out_dir: str, n_motions: int, seed: int = 0,
     leave-one-family-out generalization studies. NOTE: a non-empty exclude
     changes the (seed, i) -> family stream, so excluded and full corpora are
     different draws, not a filtered subset.
+
+    families: explicit family mix (names from _FAMILIES or the opt-in
+    _EXTRA_FAMILIES, equal weights) — single-family supplements like the
+    corpus v3 freeform-boost set. Mutually exclusive with exclude. The
+    default (None) path is byte-for-byte the historical draw stream.
     """
     from tip_tpu.data_gen import amass_syn
-    known = {f[0] for f in _FAMILIES}
-    bad = set(exclude) - known
-    if bad:
-        raise ValueError(f"unknown corpus families {sorted(bad)}; "
-                         f"known: {sorted(known)}")
-    fams = [f for f in _FAMILIES if f[0] not in exclude]
+    if families is not None:
+        if exclude:
+            raise ValueError("families= and exclude= are mutually exclusive")
+        known = {f[0] for f in _FAMILIES + _EXTRA_FAMILIES}
+        bad = set(families) - known
+        if bad:
+            raise ValueError(f"unknown corpus families {sorted(bad)}; "
+                             f"known: {sorted(known)}")
+        fams = [(n, 1.0, k) for n, _, k in _FAMILIES + _EXTRA_FAMILIES
+                if n in set(families)]
+    else:
+        known = {f[0] for f in _FAMILIES}
+        bad = set(exclude) - known
+        if bad:
+            raise ValueError(f"unknown corpus families {sorted(bad)}; "
+                             f"known: {sorted(known)}")
+        fams = [f for f in _FAMILIES if f[0] not in exclude]
     os.makedirs(out_dir, exist_ok=True)
     wrote = 0
     for i in range(start, start + n_motions):
