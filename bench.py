@@ -52,10 +52,12 @@ def main():
                     help="fused = whole-model/whole-cached-step Pallas "
                          "kernel (default: fused for kv modes, xla+pallas-"
                          "rnn for recompute)")
-    ap.add_argument("--tail_impl", default="xla", choices=["xla", "fused"],
+    ap.add_argument("--tail_impl", default="fused", choices=["xla", "fused"],
                     help="fused = FK + SBP correction + history re-encode "
                          "as one Pallas op (ops/fused_tail.py) instead of "
-                         "the pallas-FK + XLA chain")
+                         "the pallas-FK + XLA chain. Default since round 4: "
+                         "trajectory-parity pinned (tests/test_fused_tail.py) "
+                         "and -10..-21%% per frame (PERF.md)")
     args = ap.parse_args()
 
     import jax
