@@ -90,8 +90,15 @@ def make_train_cfg(epochs, dropout_impl="rng"):
         dropout_rng_impl="rbg")
 
 
-def phase_train(out, prefix, epochs, dropout_impl="rng"):
-    """Whole-epoch-scan training driver (one dispatch per epoch)."""
+def phase_train(out, prefix, epochs, dropout_impl="rng", sampler="host"):
+    """Whole-epoch-scan training driver (one dispatch per epoch).
+
+    sampler="device" draws the per-epoch window-end indices inside the
+    compiled epoch program (train.data.WindowSampler) — the host does
+    nothing between epochs, so wall time == device time (VERDICT r4: the
+    host-side numpy sampling diluted the device wins by ~20%/epoch).
+    "host" keeps the numpy stream (resume-compatible with runs started on
+    it; the two streams draw from the same distribution)."""
     import jax
     import jax.numpy as jnp
 
@@ -118,9 +125,11 @@ def phase_train(out, prefix, epochs, dropout_impl="rng"):
         done_epochs = int(state.step) // n_batches
     except FileNotFoundError:
         pass
-    if done_epochs:
+    if done_epochs and sampler == "host":
         # replay the host-side sampling stream so resumed epochs see the
-        # window schedule they would have seen uninterrupted
+        # window schedule they would have seen uninterrupted (the device
+        # sampler needs no replay: its schedule is a pure function of the
+        # checkpointed rng)
         for _ in range(done_epochs):
             data_lib.sample_epoch_indices(ds.info, cfg.seq_len, np_rng)
         print(f"resumed at step {int(state.step)} (epoch {done_epochs})",
@@ -130,18 +139,31 @@ def phase_train(out, prefix, epochs, dropout_impl="rng"):
         return ckpt_dir
 
     device_data = data_lib.to_device(ds)
-    epoch_fn = train_lib.make_epoch_fn(cfg, device_data)
+    if sampler == "device":
+        wsampler = data_lib.make_window_sampler(ds.info, cfg.seq_len)
+        epoch_fn = train_lib.make_epoch_fn(cfg, device_data,
+                                           sampler=wsampler,
+                                           n_batches=n_batches)
+    else:
+        epoch_fn = train_lib.make_epoch_fn(cfg, device_data)
     writer = MetricsWriter(os.path.join(out, "train_metrics.jsonl"))
 
     t_start = time.time()
     for ep in range(done_epochs + 1, epochs + 1):
-        idx = data_lib.sample_epoch_indices(ds.info, cfg.seq_len, np_rng)
-        ends = jnp.asarray(
-            idx[:n_batches * cfg.batch_size].reshape(n_batches,
-                                                     cfg.batch_size),
-            jnp.int32)
-        t0 = time.time()
-        state, aux = epoch_fn(state, ends)
+        if sampler == "device":
+            t0 = time.time()
+            state, aux = epoch_fn(state)
+        else:
+            # epoch_s deliberately excludes the host-side sampling (its
+            # historical meaning: dispatch time); the sampling overhead
+            # shows up in the eta/wall instead
+            idx = data_lib.sample_epoch_indices(ds.info, cfg.seq_len, np_rng)
+            ends = jnp.asarray(
+                idx[:n_batches * cfg.batch_size].reshape(n_batches,
+                                                         cfg.batch_size),
+                jnp.int32)
+            t0 = time.time()
+            state, aux = epoch_fn(state, ends)
         loss = np.asarray(aux["loss"])
         rec = {"epoch": ep, "mean_loss": float(np.nanmean(loss)),
                "last_loss": float(loss[-1]),
@@ -203,9 +225,15 @@ def phase_eval(out, epochs, test_dir=None, test_len=690,
             continue
         mode = "recompute" if full else name
         ecfg = H.EvalConfig(
+            # tail_impl pinned to the reference-shaped XLA graph: quality
+            # results must stay protocol-identical across rounds (the
+            # round-4 v2 results.json this campaign A/Bs against was
+            # measured with the xla tail; 'auto' would resolve to the
+            # fused kernel on TPU since round 5)
             runner=runner_lib.RunnerConfig(model=eval_model, n_sbps=5,
                                            with_acc_sum=True,
-                                           serving_mode=mode),
+                                           serving_mode=mode,
+                                           tail_impl="xla"),
             use_full_runner=full, multi_sbp=full,
             test_len=test_len, max_motions_per_cat=len(files),
             # corpus walks wander well past the reference's +-5 m terrain
@@ -272,6 +300,11 @@ def main():
     ap.add_argument("--dropout_impl", default="rng", choices=["rng", "hash"],
                     help="hash = counter-based masks, the fastest measured "
                          "training config (PERF.md)")
+    ap.add_argument("--sampler", default="host", choices=["host", "device"],
+                    help="device = per-epoch window sampling inside the "
+                         "compiled epoch program (wall == device time); "
+                         "host = the historical numpy stream (resume-"
+                         "compatible with runs started on it)")
     ap.add_argument("--data_prefix", default=None,
                     help="use an existing packed-blob prefix (skips the "
                          "corpus/pack phases for this out dir)")
@@ -331,7 +364,7 @@ def main():
         prefix = phase_pack(args.out, train_dirs)
     if args.phase in ("all", "train"):
         phase_train(args.out, prefix, args.epochs,
-                    dropout_impl=args.dropout_impl)
+                    dropout_impl=args.dropout_impl, sampler=args.sampler)
     if args.phase in ("all", "eval"):
         phase_eval(args.out, args.epochs, test_dir=args.test_dir,
                    test_len=args.test_len, results_name=args.results,

@@ -451,3 +451,88 @@ def test_restore_across_optimizer_mismatch_params_only(tmp_path):
     t = train_lib.init_state(CFG)
     assert (jax.tree_util.tree_structure(restored.opt_state)
             == jax.tree_util.tree_structure(t.opt_state))
+
+
+def test_device_sampler_matches_host_sampler_semantics():
+    """data.make_window_sampler + device_sample_epoch realise the same
+    distribution family as the host sampler (reference
+    training_data_loader.py:43-58): per segment exactly k_i =
+    clamp(round(n_i/rate), 1, n_i) distinct ends, none crossing segment
+    bounds, globally shuffled; and different keys draw different epochs."""
+    info = np.array([[0, 100, 10], [100, 130, 1]])
+    T = 8
+    sampler = data_lib.make_window_sampler(info, seq_len=T)
+    # segment 1: n=91 -> k=9; segment 2: n=21 -> k=21 (same as the host
+    # sampler's counts, test_window_sampler_semantics)
+    assert sampler.n_select == 9 + 21
+    NB, B = 5, 6                        # need 30 = n_select
+    ends = np.asarray(data_lib.device_sample_epoch(
+        sampler, jax.random.PRNGKey(0), NB, B)).reshape(-1)
+    assert len(ends) == 30 and len(set(ends.tolist())) == 30
+    seg1 = ends[ends < 100]
+    seg2 = ends[ends >= 100]
+    assert len(seg1) == 9 and len(seg2) == 21
+    assert ((seg1 >= T) & (seg1 <= 98)).all()
+    assert ((seg2 >= 100 + T) & (seg2 <= 128)).all()
+    ends2 = np.asarray(data_lib.device_sample_epoch(
+        sampler, jax.random.PRNGKey(1), NB, B)).reshape(-1)
+    assert not np.array_equal(np.sort(ends[ends < 100]),
+                              np.sort(ends2[ends2 < 100])) or \
+        not np.array_equal(ends, ends2)
+
+
+def test_epoch_fn_with_device_sampler_runs_and_is_deterministic():
+    """make_epoch_fn(sampler=...): the whole epoch — window sampling
+    included — is one compiled program, a pure function of the train
+    state (resume-exactness for free)."""
+    N = 96
+    info = np.array([[0, N, 1]], dtype=np.int64)
+    ds = data_lib.PackedDataset(
+        imu=RNG.normal(size=(N, 72)).astype(np.float32),
+        acc_sum=RNG.normal(size=(N, 18)).astype(np.float32),
+        s=RNG.normal(size=(N, 131)).astype(np.float32),
+        info=info,
+    )
+    T, B = 8, 4
+    cfg = train_lib.TrainConfig(model=TINY, batch_size=B, seq_len=T,
+                                noise_input_hist=0.0, seed=0)
+    sampler = data_lib.make_window_sampler(info, T)
+    NB = sampler.n_select // B
+    dds = data_lib.to_device(ds)
+    epoch_fn = train_lib.make_epoch_fn(cfg, dds, sampler=sampler,
+                                       n_batches=NB)
+    s1, aux1 = epoch_fn(train_lib.init_state(cfg))
+    s1b, aux1b = epoch_fn(train_lib.init_state(cfg))
+    assert int(s1.step) == NB
+    assert np.isfinite(np.asarray(aux1["loss"])).all()
+    np.testing.assert_array_equal(np.asarray(aux1["loss"]),
+                                  np.asarray(aux1b["loss"]))
+    # the next epoch draws a different schedule (rng advanced in-state)
+    s2, aux2 = epoch_fn(s1)
+    assert not np.array_equal(np.asarray(aux2["loss"]),
+                              np.asarray(aux1["loss"]))
+
+
+def test_epoch_fn_with_device_sampler_sharded_runs():
+    """Device-sampled epoch over the (data, model) mesh compiles and runs
+    (the sampled ends get the batch sharding constraint)."""
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=2)
+    N = 64
+    info = np.array([[0, N, 1]], dtype=np.int64)
+    ds = data_lib.PackedDataset(
+        imu=RNG.normal(size=(N, 72)).astype(np.float32),
+        acc_sum=RNG.normal(size=(N, 18)).astype(np.float32),
+        s=RNG.normal(size=(N, 131)).astype(np.float32),
+        info=info,
+    )
+    cfg = train_lib.TrainConfig(model=TINY, batch_size=8, seq_len=8,
+                                noise_input_hist=0.0, seed=0)
+    sampler = data_lib.make_window_sampler(info, 8)
+    NB = sampler.n_select // 8
+    dds = data_lib.to_device(ds, sharding=mesh_lib.replicated(mesh))
+    state = train_lib.shard_state(train_lib.init_state(cfg), mesh)
+    epoch_fn = train_lib.make_epoch_fn(cfg, dds, mesh=mesh, sampler=sampler,
+                                       n_batches=NB)
+    state, aux = epoch_fn(state)
+    assert np.isfinite(np.asarray(aux["loss"])).all()
+    assert int(state.step) == NB

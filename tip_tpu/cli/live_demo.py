@@ -37,9 +37,11 @@ def main():
     ap.add_argument("--metrics", default=None,
                     help="jsonl metrics output (latency percentiles every "
                          "second + final summary)")
-    ap.add_argument("--tail_impl", default="xla", choices=["xla", "fused"],
+    ap.add_argument("--tail_impl", default="auto",
+                    choices=["auto", "xla", "fused"],
                     help="fused = Pallas decode+tail kernels "
-                         "(ops/fused_tail.py; 5-SBP layouts only)")
+                         "(ops/fused_tail.py; 5-SBP layouts only). auto "
+                         "(default) = fused on TPU/5-SBP, xla otherwise")
     ap.add_argument("--viz", action="store_true",
                     help="PyBullet viewer: predicted character + SBP markers "
                          "+ terrain heightfield re-meshed every 15 frames "

@@ -29,9 +29,11 @@ def main():
     ap.add_argument("--forward_impl", default="xla", choices=["xla", "fused"],
                     help="fused = the batched Pallas cached-step kernel "
                          "(kv modes; 1.35M frames/s/chip measured, PERF.md)")
-    ap.add_argument("--tail_impl", default="xla", choices=["xla", "fused"],
+    ap.add_argument("--tail_impl", default="auto",
+                    choices=["auto", "xla", "fused"],
                     help="fused = Pallas decode+tail kernels "
-                         "(ops/fused_tail.py; 5-SBP layouts only)")
+                         "(ops/fused_tail.py; 5-SBP layouts only). auto "
+                         "(default) = fused on TPU/5-SBP, xla otherwise")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 compute (the serving throughput sweet "
                          "spot, PERF.md)")

@@ -62,9 +62,14 @@ class RunnerConfig:
     fk_impl: str = "xla"
     # "fused": stages 6-7 (FK + SBP root correction + history 6D re-encode)
     # as ONE Pallas op (ops/fused_tail.py) — subsumes fk_impl="pallas" and
-    # additionally fuses the SBP/history chains; single-stream latency
-    # opt-in, 5-SBP layout only. "xla" keeps the reference-shaped op graph.
-    tail_impl: str = "xla"
+    # additionally fuses the SBP/history chains; 5-SBP layout only. "xla"
+    # keeps the reference-shaped op graph. "auto" (default since round 5):
+    # fused on a real TPU backend with the 5-SBP layout — the deployed
+    # product path matches the bench headline (ADVICE r4) — and xla
+    # otherwise (CPU hosts would pay Pallas interpret mode; exotic layouts
+    # are unsupported by the kernel). Resolution happens at trace time via
+    # resolved_tail_impl, never silently for an explicit "fused".
+    tail_impl: str = "auto"
     # "recompute": windowed forward every frame (reference semantics);
     # "kv_cache": per-layer K/V rings, only the newest token runs through
     # the encoder (exact while the window grows; documented divergence once
@@ -77,8 +82,18 @@ class RunnerConfig:
         # when the two lengths coincide (reference constants: both 40)
         assert self.window == cst.ACC_SUM_WIN_LEN or not self.with_acc_sum, (
             "acc-sum feature requires window == ACC_SUM_WIN_LEN")
-        assert self.tail_impl == "xla" or self.n_sbps == 5, (
+        assert self.tail_impl != "fused" or self.n_sbps == 5, (
             "tail_impl='fused' supports the 5-SBP layout only")
+
+    @property
+    def resolved_tail_impl(self) -> str:
+        """'auto' -> 'fused' iff the kernel applies (5-SBP layout) and the
+        backend is a real TPU; explicit values pass through unchanged."""
+        if self.tail_impl != "auto":
+            return self.tail_impl
+        import jax
+        on_tpu = jax.default_backend() == "tpu"
+        return "fused" if (on_tpu and self.n_sbps == 5) else "xla"
 
     @property
     def smooth_win(self) -> int:
@@ -371,7 +386,7 @@ def sense_and_predict(params, carry: RunnerCarry, cur_imu, cfg: RunnerConfig,
                             carry.out_buf)
         filt_view = out_buf
     n_out = jnp.where(active, carry.n_out + 1, carry.n_out)
-    if cfg.tail_impl == "fused":
+    if cfg.resolved_tail_impl == "fused":
         # decode-front kernel: filter + SBP decode + all 6D->quat decodes in
         # one op (ops/fused_tail.decode_fused); only the arctan2 step
         # (q -> axis-angle, no Mosaic lowering) stays in XLA.
@@ -431,7 +446,7 @@ def _tail(cfg: RunnerConfig, skel: kin.Skeleton, s_t, c_t, prev_pq):
     path encodes it in state_to_history after the root correction — the
     correction only touches s_t[:3], which the encode never reads, so both
     orders are equivalent)."""
-    if cfg.tail_impl == "fused":
+    if cfg.resolved_tail_impl == "fused":
         from tip_tpu.ops import fused_tail as FT
         to = FT.tail_fused(skel, s_t, c_t, prev_pq, dt=cfg.dt,
                            interpret=jax.default_backend() != "tpu")

@@ -183,7 +183,8 @@ def make_train_step(cfg: TrainConfig, mesh=None, device_data=None):
     return jax.jit(sharded_step, in_shardings=(None, bs, bs, bs))
 
 
-def make_epoch_fn(cfg: TrainConfig, device_data, mesh=None):
+def make_epoch_fn(cfg: TrainConfig, device_data, mesh=None, sampler=None,
+                  n_batches=None):
     """Whole-epoch training as ONE compiled program.
 
     With the blobs in HBM (data.DeviceDataset), an epoch is a lax.scan of
@@ -198,6 +199,14 @@ def make_epoch_fn(cfg: TrainConfig, device_data, mesh=None):
 
     Returns epoch_fn(state, ends (n, B) int32) -> (state, aux) with aux
     leaves stacked over batches.
+
+    sampler: optional data.WindowSampler (with n_batches) — the epoch's
+    window-end indices are then drawn INSIDE the compiled program from the
+    train state's own PRNG (split once per epoch before the batch scan),
+    and the returned function is epoch_fn(state) -> (state, aux). Nothing
+    crosses the host boundary per epoch, so wall time == device time, and
+    resume-exactness is automatic (the schedule is a pure function of the
+    checkpointed rng).
     """
     from tip_tpu.train import data as data_lib
 
@@ -227,12 +236,29 @@ def make_epoch_fn(cfg: TrainConfig, device_data, mesh=None):
         aux["skipped"] = ~ok
         return kept, aux
 
+    es = (NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS))
+          if mesh is not None else None)
+
+    if sampler is not None:
+        assert n_batches is not None, "sampler requires n_batches"
+        from tip_tpu.train import data as sdata
+
+        def epoch_sampled(state):
+            k_sample, rng = jax.random.split(state.rng)
+            state = state.replace(rng=rng)
+            ends = sdata.device_sample_epoch(sampler, k_sample, n_batches,
+                                             cfg.batch_size)
+            if es is not None:
+                ends = jax.lax.with_sharding_constraint(ends, es)
+            return jax.lax.scan(body, state, ends)
+
+        return jax.jit(epoch_sampled)
+
     def epoch_fn(state, ends):
         return jax.lax.scan(body, state, ends)
 
     if mesh is None:
         return jax.jit(epoch_fn)
-    es = NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS))
     return jax.jit(epoch_fn, in_shardings=(None, es))
 
 
