@@ -283,6 +283,9 @@ def phase_eval(out, epochs, test_dir=None, test_len=690,
             results["modes"][name]["sbp"] = extras["sbp"]
         if full and with_terrain_metrics and "terrain" in extras:
             results["modes"][name]["terrain"] = extras["terrain"]
+            if "terrain_by_family" in extras:
+                results["modes"][name]["terrain_by_family"] = \
+                    extras["terrain_by_family"]
         print(name, json.dumps(means), flush=True)
         with open(res_path, "w") as f:
             json.dump(results, f, indent=1)

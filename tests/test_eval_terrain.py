@@ -224,3 +224,7 @@ def test_evaluate_extras_end_to_end(setup, tmp_path):
     # gt path entirely off the established cells, so only the coverage key
     # is guaranteed (mae_dc is NaN -> omitted when nothing is established).
     assert np.isfinite(extras["terrain"]["pct_path_established_dc"])
+    # per-family breakdown (corpus filename convention)
+    assert set(extras["terrain_by_family"]) == {"walk_stairs"}
+    assert (extras["terrain_by_family"]["walk_stairs"]
+            ["n_motions_with_contacts"] == 1)

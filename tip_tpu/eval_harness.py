@@ -275,4 +275,14 @@ def evaluate(params, cfg: EvalConfig, test_files: Sequence[str],
         if terrain_accum:
             from tip_tpu import eval_terrain
             extras_out["terrain"] = eval_terrain.summarize(terrain_accum)
+            # per-family breakdown (corpus filename convention
+            # <family>_<idx>.pkl): the drift-decoupled map error is only
+            # meaningful on contact-rich families, so report it per family
+            by_fam = {}
+            for f, row in zip(used, terrain_accum):
+                fam = os.path.basename(f).rsplit("_", 1)[0]
+                by_fam.setdefault(fam, []).append(row)
+            extras_out["terrain_by_family"] = {
+                fam: eval_terrain.summarize(rows)
+                for fam, rows in sorted(by_fam.items())}
     return per_motion, means, maxima

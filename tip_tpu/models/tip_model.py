@@ -324,7 +324,15 @@ def params_from_torch_state_dict(sd, cfg: ModelConfig, dtype=jnp.float32):
 
     Weight-layout notes: torch Linear stores (out, in) — transposed here;
     MHA packs q/k/v row-wise into in_proj_weight (3d, d).
+
+    Accepts state dicts saved from a ``torch.nn.DataParallel``-wrapped
+    model (every key prefixed ``module.``): the reference's shipped
+    checkpoints were saved by train_model.py:220-225 from a possibly
+    GPU-wrapped module, so the importer normalises the prefix away.
     """
+    if sd and all(k.startswith("module.") for k in sd):
+        sd = {k[len("module."):]: v for k, v in sd.items()}
+
     def t(name):
         arr = sd[name]
         if hasattr(arr, "detach"):
