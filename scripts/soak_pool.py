@@ -52,6 +52,18 @@ def main():
                          "time); the histogram's value here is the CHURN "
                          "tail — whether add/remove/rebuild events stall "
                          "ticks — not the absolute level.")
+    ap.add_argument("--device_time_window", type=int, default=0,
+                    metavar="W",
+                    help="certify the churn-tick latency in DEVICE time "
+                         "(VERDICT r4): dispatch W ticks back-to-back "
+                         "without blocking (donation chains them on "
+                         "device), sync at window boundaries, and record "
+                         "wall/W per window — the tunnel RTT is paid once "
+                         "per window instead of per tick. Windows cover "
+                         "the second (single-pool, production-shape) half "
+                         "only, where the isolation oracle's extra pool "
+                         "is quiet; churn keeps running inside windows. "
+                         "Try W=30 (0.5 s of 60 Hz stream).")
     args = ap.parse_args()
 
     import jax
@@ -99,6 +111,7 @@ def main():
 
     from tip_tpu.utils.observability import LatencyHistogram
     hist = LatencyHistogram(capacity=args.ticks)
+    dev_windows = []                    # --device_time_window samples (s/tick)
 
     ok = True
     drops = adds = 0
@@ -142,13 +155,26 @@ def main():
                 injected_recovered = True
             pool._step = orig
 
+        W = args.device_time_window
+        k = t - inject_at - 1          # 0-based tick index, single-pool half
         if args.block_each_tick:
             t_tick = time.perf_counter()
             out = pool.step(batch)
             jax.block_until_ready(out["qdq"])
             hist.record(time.perf_counter() - t_tick)
         else:
+            # windowed device timing: W ticks dispatched back-to-back
+            # (donation chains them on device), one sync per window — the
+            # tunnel RTT amortises over W while churn keeps running inside
+            # the window
+            if W and k >= 0 and k % W == 0:
+                if k == 0:
+                    jax.block_until_ready(out["qdq"])   # drain the backlog
+                t_win = time.perf_counter()
             out = pool.step(batch)
+            if W and k >= 0 and k % W == W - 1:
+                jax.block_until_ready(out["qdq"])
+                dev_windows.append((time.perf_counter() - t_win) / W)
 
         # isolation oracle phase (first half, up to the injection which
         # restarts the churn pool's sessions): the sentinel must track a
@@ -206,6 +232,15 @@ def main():
         # this rig; see --block_each_tick help)
         "tick_latency": ({k: round(v, 3) for k, v in hist.summary().items()}
                          if args.block_each_tick else None),
+        # churn-tick latency in DEVICE time (ms/tick; RTT amortised over
+        # --device_time_window-tick pipelined windows, single-pool phase)
+        "tick_device_ms": ({
+            "window": args.device_time_window,
+            "n_windows": len(dev_windows),
+            "p50": round(float(np.percentile(dev_windows, 50)) * 1e3, 4),
+            "p95": round(float(np.percentile(dev_windows, 95)) * 1e3, 4),
+            "max": round(float(np.max(dev_windows)) * 1e3, 4),
+        } if dev_windows else None),
     }))
     assert ok
 
