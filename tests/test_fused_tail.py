@@ -156,3 +156,20 @@ def test_tail_impl_fused_requires_5_sbps():
     import pytest
     with pytest.raises(AssertionError):
         R.RunnerConfig(n_sbps=2, tail_impl="fused")
+
+
+def test_tail_impl_auto_resolution():
+    """'auto' (the default since round 5): fused only on a real TPU with
+    the 5-SBP layout; explicit values pass through. These tests run on the
+    forced-CPU backend, so auto must resolve to xla here — CPU hosts would
+    otherwise pay Pallas interpret mode (ADVICE r4 / DEPLOY.md)."""
+    import jax
+
+    from tip_tpu.runtime import runner as R
+    assert R.RunnerConfig().tail_impl == "auto"
+    expected = "fused" if jax.default_backend() == "tpu" else "xla"
+    assert R.RunnerConfig().resolved_tail_impl == expected
+    # an exotic layout never resolves to the 5-SBP-only kernel
+    assert R.RunnerConfig(n_sbps=2).resolved_tail_impl == "xla"
+    assert R.RunnerConfig(tail_impl="xla").resolved_tail_impl == "xla"
+    assert R.RunnerConfig(tail_impl="fused").resolved_tail_impl == "fused"
