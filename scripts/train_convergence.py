@@ -24,6 +24,7 @@ died in a host move. scripts/round4_campaign.sh chains the full campaign.)
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -90,7 +91,27 @@ def make_train_cfg(epochs, dropout_impl="rng"):
         dropout_rng_impl="rbg")
 
 
-def phase_train(out, prefix, epochs, dropout_impl="rng", sampler="host"):
+def _git_commit_ckpt(out, ep):
+    """Force-add + commit the live checkpoint (and metrics) so a host move
+    mid-train loses at most the commit cadence, not the whole stage.  Runs
+    between epochs (never concurrent with an orbax write).  Round-5
+    addition: three host moves have now wiped gitignored blobs mid-round
+    (round-3 /root/corpus_run, the round-4 4a->4b move, and the round-5
+    stage-F run at epoch ~680)."""
+    paths = [os.path.join(out, "ckpt"),
+             os.path.join(out, "train_metrics.jsonl")]
+    r = subprocess.run(["git", "-C", "/root/repo", "add", "-f", *paths],
+                       capture_output=True, text=True)
+    if r.returncode:
+        print(f"git add failed: {r.stderr.strip()}", file=sys.stderr)
+        return
+    subprocess.run(["git", "-C", "/root/repo", "commit", "-q", "-m",
+                    f"wip: {os.path.basename(out)} checkpoint at epoch {ep} "
+                    "(host-move durability)"], capture_output=True)
+
+
+def phase_train(out, prefix, epochs, dropout_impl="rng", sampler="host",
+                git_ckpt_every=0):
     """Whole-epoch-scan training driver (one dispatch per epoch).
 
     sampler="device" draws the per-epoch window-end indices inside the
@@ -179,6 +200,8 @@ def phase_train(out, prefix, epochs, dropout_impl="rng", sampler="host"):
             print(json.dumps(rec) + f"  eta {eta_h:.2f}h", flush=True)
         if ep % 25 == 0 or ep == epochs:
             train_lib.save_checkpoint(ckpt_dir, state, ep * n_batches)
+            if git_ckpt_every and (ep % git_ckpt_every == 0 or ep == epochs):
+                _git_commit_ckpt(out, ep)
     writer.close()
     return ckpt_dir
 
@@ -308,6 +331,9 @@ def main():
                          "compiled epoch program (wall == device time); "
                          "host = the historical numpy stream (resume-"
                          "compatible with runs started on it)")
+    ap.add_argument("--git_ckpt_every", type=int, default=0,
+                    help="force-add + commit the live checkpoint every N "
+                         "epochs (host-move durability; 0 = off)")
     ap.add_argument("--data_prefix", default=None,
                     help="use an existing packed-blob prefix (skips the "
                          "corpus/pack phases for this out dir)")
@@ -367,7 +393,8 @@ def main():
         prefix = phase_pack(args.out, train_dirs)
     if args.phase in ("all", "train"):
         phase_train(args.out, prefix, args.epochs,
-                    dropout_impl=args.dropout_impl, sampler=args.sampler)
+                    dropout_impl=args.dropout_impl, sampler=args.sampler,
+                    git_ckpt_every=args.git_ckpt_every)
     if args.phase in ("all", "eval"):
         phase_eval(args.out, args.epochs, test_dir=args.test_dir,
                    test_len=args.test_len, results_name=args.results,
